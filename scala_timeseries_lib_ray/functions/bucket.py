@@ -112,6 +112,46 @@ def rollup_partials_table(
     return pa.table(out)
 
 
+def reaggregate_partials_table(
+    t: pa.Table,
+    width: int,
+    origin: int = 0,
+    keys: tuple[str, ...] = ("source",),
+) -> pa.Table:
+    """Coarsen a tier/partials table to a wider bucket grid by combining the algebraic
+    aggregate vector WITHIN the batch (count/sum/wsum/wdur add; min/max fold). The
+    output feeds the same groupby-of-partials as ``rollup_partials_table`` — this is
+    how 1m → 1h → 1d reuse partial sums instead of re-reading raw data."""
+    arrs = table_to_arrays(t)
+    bucket_ts = origin + ((np.asarray(arrs["bucket_ts"], dtype=np.int64) - origin) // width) * width
+    key_cols = [np.asarray(arrs[k]) for k in keys]
+    order = np.lexsort((bucket_ts, *key_cols[::-1]))
+    b = bucket_ts[order]
+    k_sorted = [k[order] for k in key_cols]
+    m = len(order)
+    if m == 0:
+        return t.drop_columns([c for c in ("mean",) if c in t.column_names])
+    change = np.zeros(m, dtype=bool)
+    change[0] = True
+    change[1:] = b[1:] != b[:-1]
+    for k in k_sorted:
+        change[1:] |= k[1:] != k[:-1]
+    starts = np.flatnonzero(change)
+    red = lambda col, ufunc: ufunc.reduceat(np.asarray(arrs[col])[order], starts)
+    return pa.table(
+        {
+            **{name: pa.array(k[starts]) for name, k in zip(keys, k_sorted)},
+            "bucket_ts": pa.array(b[starts], type=pa.int64()),
+            "count": pa.array(red("count", np.add), type=pa.int64()),
+            "min": pa.array(red("min", np.minimum), type=pa.float64()),
+            "max": pa.array(red("max", np.maximum), type=pa.float64()),
+            "sum": pa.array(red("sum", np.add), type=pa.float64()),
+            "wsum": pa.array(red("wsum", np.add), type=pa.float64()),
+            "wdur": pa.array(red("wdur", np.add), type=pa.int64()),
+        }
+    )
+
+
 def finalize_tier_table(t: pa.Table) -> pa.Table:
     """Attach the derived ``mean = wsum / wdur`` column after the groupby-of-partials."""
     arrs = table_to_arrays(t)

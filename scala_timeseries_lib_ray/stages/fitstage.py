@@ -1,0 +1,89 @@
+"""Distributed fitting (trim + compress) of points.
+
+Two strategies (SURVEY.md §4.3, §7.3 — the fit/compress carry across partition edges
+is the one inherently order-coupled step):
+
+- ``fit_per_series``: ``groupby(source).map_groups`` — exact global ``TimeSeries.apply``
+  semantics per series. Fine when single series fit in memory; skew-prone for hot
+  sources at 10^12 scale.
+- ``fit_blocks``: rows are split at coarse block boundaries (``block_width``), then
+  fitted within ``(source, block)`` groups. Compression is *block-local* — equal-value
+  runs never merge across a block edge. This mirrors the reference's own tiling of
+  long series into bucket-aligned blocks (``NestedTimeSeries`` /
+  ``bucketing/TimeBucketer.scala:24-46``: entries are split at bucket boundaries
+  before per-block Gorilla compression), makes every group bounded
+  (hot sources are spread over time blocks → no skew), and is embarrassingly
+  parallel. The engine's scale path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions.bucket import bucket_split_arrays
+from ..functions.core import table_to_arrays
+from ..functions.fit import fit_table
+
+DEFAULT_BLOCK_WIDTH = 3_600_000  # 1h blocks
+
+
+def _sort_block_fit(t: pa.Table, keys: tuple[str, ...], compress: bool) -> pa.Table:
+    order = pa.compute.sort_indices(
+        t, sort_keys=[(k, "ascending") for k in keys] + [("ts", "ascending")]
+    )
+    return fit_table(t.take(order), keys=keys, compress=compress)
+
+
+def fit_per_series(
+    points: ray.data.Dataset,
+    keys: tuple[str, ...] = ("source",),
+    compress: bool = True,
+) -> ray.data.Dataset:
+    """Exact global fit: one group per series."""
+
+    def fit_group(t: pa.Table) -> pa.Table:
+        return _sort_block_fit(t, keys, compress)
+
+    return points.groupby(list(keys)).map_groups(fit_group, batch_format="pyarrow")
+
+
+def split_at_blocks(t: pa.Table, block_width: int = DEFAULT_BLOCK_WIDTH) -> pa.Table:
+    """Stateless kernel: split rows at block boundaries and tag the block id."""
+    arrs = table_to_arrays(t)
+    new_ts, new_validity, block_ts, src = bucket_split_arrays(
+        arrs["ts"], arrs["validity"], block_width
+    )
+    cols = {}
+    for name in t.column_names:
+        if name == "ts":
+            cols[name] = pa.array(new_ts, pa.int64())
+        elif name == "validity":
+            cols[name] = pa.array(new_validity, pa.int64())
+        else:
+            cols[name] = t.column(name).take(pa.array(src, type=pa.int64()))
+    cols["block_ts"] = pa.array(block_ts, pa.int64())
+    return pa.table(cols)
+
+
+def fit_blocks(
+    points: ray.data.Dataset,
+    keys: tuple[str, ...] = ("source",),
+    compress: bool = True,
+    block_width: int = DEFAULT_BLOCK_WIDTH,
+) -> ray.data.Dataset:
+    """Block-local fit: split at block boundaries, group by (keys, block), fit inside.
+
+    The output keeps the ``block_ts`` column (the engine's partitioning key: reuse it
+    for the tier groupby, merges and Gorilla blocks so the data is shuffled ONCE)."""
+    split = points.map_batches(
+        lambda t: split_at_blocks(t, block_width), batch_format="pyarrow"
+    )
+
+    def fit_group(t: pa.Table) -> pa.Table:
+        return _sort_block_fit(t, tuple(keys) + ("block_ts",), compress)
+
+    return split.groupby(list(keys) + ["block_ts"]).map_groups(
+        fit_group, batch_format="pyarrow"
+    )
