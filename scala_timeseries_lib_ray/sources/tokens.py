@@ -14,8 +14,9 @@ Derivation rules (engine-wide constants):
   divisor of any tier width, so entries drift across bucket boundaries and the
   boundary-splitting path is exercised)
 - rows with ``r % 17 == 16`` are dropped           (deliberate holes)
-- ``validity = min(next_kept_ts - ts, 4000)``      (cap leaves a hole at each drop)
-- the last kept doc of a source has ``validity = 2800``
+- ``validity = min(ts(next_kept_ordinal) - ts, 4000)`` for EVERY row (closed form —
+  the last kept doc of a source uses the same formula, so the derivation needs no
+  per-source state at all and is a single stateless map_batches)
 - ``value = n_tok`` (the numeric signal rolled up across tiers; the reference archive
   layer is Double-only, ``archive/package.scala:32-35``)
 """
@@ -31,7 +32,6 @@ JITTER_MUL = 37
 SPACING = 2800
 DROP_EVERY = 17  # ordinal r with r % 17 == 16 is dropped
 VALIDITY_CAP = 4000
-LAST_VALIDITY = 2800
 VOCAB = 50257
 NTOK_MIN, NTOK_MOD = 16, 2033  # n_tok = 16 + mix % 2033  -> [16, 2048]
 
@@ -101,13 +101,9 @@ def parse_ordinal(doc_id_col) -> np.ndarray:
     return np.asarray(parts.cast(pa.int64()))
 
 
-def derive_points_batch(batch: pa.Table, last_rank: dict[str, int] | None = None) -> pa.Table:
-    """token rows -> points rows (stateless map_batches kernel).
-
-    ``last_rank`` maps source -> max ordinal (broadcast small side); needed only to
-    give the final kept doc of each source its ``LAST_VALIDITY``. When None, a row
-    whose successor ordinals are all dropped gets the capped validity (still valid).
-    """
+def derive_points_batch(batch: pa.Table) -> pa.Table:
+    """token rows -> points rows (fully stateless map_batches kernel; validity is a
+    closed form of the ordinal so no per-source state or broadcast is needed)."""
     r = parse_ordinal(batch.column("doc_id"))
     keep = (r % DROP_EVERY) != (DROP_EVERY - 1)
     r = r[keep]
@@ -117,11 +113,6 @@ def derive_points_batch(batch: pa.Table, last_rank: dict[str, int] | None = None
     # next kept ordinal: r+1 unless dropped, then r+2
     nxt = np.where(((r + 1) % DROP_EVERY) == (DROP_EVERY - 1), r + 2, r + 1)
     validity = np.minimum(_rank_ts(nxt) - ts, VALIDITY_CAP)
-    if last_rank is not None:
-        import pandas as pd
-
-        mx = pd.Series(src).map(last_rank).to_numpy()
-        validity = np.where(r >= mx, LAST_VALIDITY, validity)
     return pa.table(
         {
             "source": pa.array(src),

@@ -37,8 +37,7 @@ def token_ds(ray_session):
 def local_points(counts) -> pa.Table:
     tabs = []
     for s, c in counts.items():
-        last = {s: max(r for r in range(c) if r % 17 != 16)}
-        tabs.append(derive_points_batch(synth_token_batch(s, 0, c), last))
+        tabs.append(derive_points_batch(synth_token_batch(s, 0, c)))
     return pa.concat_tables(tabs)
 
 
