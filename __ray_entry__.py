@@ -125,6 +125,177 @@ FROM pts GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# events-derived points (stream-shaped input; see sources/events.py)
+# ---------------------------------------------------------------------------
+
+# value quantization per query keeps float aggregation integer-exact so the hash
+# comparison is deterministic regardless of summation order:
+#   raw    — untouched doubles (point-wise ops only)
+#   int    — ROUND(value)        (integrals / rollups)
+#   cents  — ROUND(value * 100)  (session sums)
+_EV_VAL = {"raw": "value", "int": "ROUND(value)", "cents": "ROUND(value * 100)"}
+
+
+def _sql_ev_points(quant: str = "raw") -> str:
+    return f"""
+SELECT event_type AS source, epoch_ms(ts) AS ts, {_EV_VAL[quant]} AS value,
+       COALESCE(LEAST(LEAD(epoch_ms(ts)) OVER w - epoch_ms(ts), 600000), 600000)
+         AS validity
+FROM events WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ms(ts))
+"""
+
+
+def _sql_ev_merge(a: str, b: str, merged_value: str, defined: str) -> str:
+    """Boundary-union merge sweep in SQL: elementary intervals between all change
+    points of the two series, per-interval definedness via interval-stabbing
+    subqueries, then islands compression of equal-value contiguous output."""
+    return f"""
+WITH pts AS ({_sql_ev_points("raw")}),
+sa AS (SELECT ts, value, validity FROM pts WHERE source = '{a}'),
+sb AS (SELECT ts, value, validity FROM pts WHERE source = '{b}'),
+bounds AS (
+  SELECT DISTINCT t FROM (
+    SELECT ts AS t FROM sa UNION ALL SELECT ts + validity FROM sa
+    UNION ALL SELECT ts FROM sb UNION ALL SELECT ts + validity FROM sb)
+),
+seg0 AS (SELECT t AS ts, LEAD(t) OVER (ORDER BY t) AS t_end FROM bounds),
+seg AS (
+  SELECT s.ts, s.t_end,
+         (SELECT value FROM sa WHERE sa.ts <= s.ts AND s.ts < sa.ts + sa.validity) AS va,
+         (SELECT value FROM sb WHERE sb.ts <= s.ts AND s.ts < sb.ts + sb.validity) AS vb
+  FROM seg0 s WHERE s.t_end IS NOT NULL
+),
+m AS (
+  SELECT ts, t_end, {merged_value} AS value FROM seg WHERE {defined}
+),
+c AS (
+  SELECT ts, t_end, value,
+         CASE WHEN value = LAG(value) OVER (ORDER BY ts)
+                   AND ts = LAG(t_end) OVER (ORDER BY ts)
+              THEN 0 ELSE 1 END AS brk
+  FROM m
+),
+i AS (SELECT *, SUM(brk) OVER (ORDER BY ts) AS island FROM c)
+SELECT '{a}+{b}' AS source, MIN(ts) AS ts, ANY_VALUE(value) AS value,
+       MAX(t_end) - MIN(ts) AS validity
+FROM i GROUP BY island
+"""
+
+
+SQL_EV_SAMPLE = f"""
+WITH pts AS ({_sql_ev_points("raw")}),
+dom AS (SELECT source, MIN(ts) AS t0, MAX(ts + validity) AS t1 FROM pts GROUP BY source),
+grid AS (SELECT source, unnest(generate_series(t0, t1 - 1, 600000)) AS p FROM dom),
+s AS (
+  SELECT g.source, g.p AS ts,
+         (SELECT value FROM pts e
+          WHERE e.source = g.source AND e.ts <= g.p AND g.p < e.ts + e.validity) AS value
+  FROM grid g
+)
+SELECT source, ts, value, 600000 AS validity FROM s WHERE value IS NOT NULL
+"""
+
+SQL_EV_STEP_INTEGRAL = f"""
+WITH pts AS ({_sql_ev_points("int")})
+SELECT source, ts, SUM(value * validity) OVER (PARTITION BY source ORDER BY ts)
+       AS value, validity
+FROM pts
+"""
+
+SQL_EV_SLIDING_INTEGRAL = f"""
+WITH pts AS ({_sql_ev_points("int")}),
+dom AS (SELECT source, MIN(ts) AS t0, MAX(ts + validity) AS t1 FROM pts GROUP BY source),
+grid AS (SELECT source, unnest(generate_series(t0, t1 - 1, 600000)) AS p FROM dom),
+samp AS (
+  SELECT g.source, g.p,
+         (SELECT value FROM pts e
+          WHERE e.source = g.source AND e.ts <= g.p AND g.p < e.ts + e.validity) AS v
+  FROM grid g
+),
+s AS (SELECT * FROM samp WHERE v IS NOT NULL)
+SELECT a.source, a.p AS ts,
+       (SELECT SUM(b.v * 600000) FROM s b
+        WHERE b.source = a.source AND b.p <= a.p AND a.p < b.p + 600000 + 3600000)
+       AS value
+FROM s a
+"""
+
+
+def _sql_ev_sliding_minmax(fn: str, width: int = 3_600_000) -> str:
+    return f"""
+WITH pts AS ({_sql_ev_points("raw")}),
+dom AS (SELECT source, MIN(ts) AS t0, MAX(ts + validity) AS t1 FROM pts GROUP BY source),
+ev0 AS (
+  SELECT source, ts AS t FROM pts
+  UNION SELECT source, ts + validity + {width} FROM pts
+  UNION SELECT source, t1 FROM dom
+),
+ev AS (
+  SELECT e.source, e.t FROM ev0 e JOIN dom d ON d.source = e.source
+  WHERE e.t >= d.t0 AND e.t <= d.t1
+),
+seg0 AS (SELECT source, t AS ts, LEAD(t) OVER (PARTITION BY source ORDER BY t) AS t_end FROM ev),
+seg AS (
+  SELECT s.source, s.ts, s.t_end,
+         (SELECT {fn}(value) FROM pts e
+          WHERE e.source = s.source AND e.ts <= s.ts AND s.ts < e.ts + e.validity + {width})
+         AS value
+  FROM seg0 s WHERE s.t_end IS NOT NULL
+),
+m AS (SELECT * FROM seg WHERE value IS NOT NULL),
+c AS (
+  SELECT source, ts, t_end, value,
+         CASE WHEN value = LAG(value) OVER w AND ts = LAG(t_end) OVER w
+              THEN 0 ELSE 1 END AS brk
+  FROM m WINDOW w AS (PARTITION BY source ORDER BY ts)
+),
+i AS (SELECT *, SUM(brk) OVER (PARTITION BY source ORDER BY ts) AS island FROM c)
+SELECT source, MIN(ts) AS ts, ANY_VALUE(value) AS value, MAX(t_end) - MIN(ts) AS validity
+FROM i GROUP BY source, island
+"""
+
+
+SQL_EV_SESSIONS = f"""
+WITH pts AS ({_sql_ev_points("cents")}),
+f AS (
+  SELECT *, CASE WHEN value >= 100 THEN 1 ELSE 0 END AS ok FROM pts
+),
+g AS (
+  SELECT *, CASE WHEN ok = 1 AND COALESCE(LAG(ok) OVER win, 0) = 0 THEN 1 ELSE 0 END AS st
+  FROM f WINDOW win AS (PARTITION BY source ORDER BY ts)
+),
+w AS (
+  SELECT *, SUM(st) OVER (PARTITION BY source ORDER BY ts) AS island FROM g
+)
+SELECT source, MIN(ts) AS ts, SUM(value) AS value,
+       MAX(ts + validity) - MIN(ts) AS validity
+FROM w WHERE ok = 1 GROUP BY source, island
+"""
+
+
+def _sql_ev_tier(width: int, fine: int = 60000) -> str:
+    return f"""
+WITH pts AS ({_sql_ev_points("int")}),
+expl AS (
+  SELECT p.*, unnest(generate_series(ts // {fine} * {fine},
+                                     (ts + validity - 1) // {fine} * {fine},
+                                     {fine})) AS fb
+  FROM pts p
+), frag AS (
+  SELECT source, value, fb // {width} * {width} AS bucket_ts,
+         GREATEST(ts, fb) AS fts, LEAST(ts + validity, fb + {fine}) AS fend
+  FROM expl
+)
+SELECT source, bucket_ts,
+       COUNT(*) AS "count", MIN(value) AS "min", MAX(value) AS "max",
+       SUM(value) AS "sum", SUM(value * (fend - fts)) AS "wsum",
+       SUM(fend - fts) AS "wdur",
+       SUM(value * (fend - fts)) / SUM(fend - fts) AS "mean"
+FROM frag GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Ray-side pipelines
 # ---------------------------------------------------------------------------
 
@@ -211,6 +382,109 @@ def q_doc_domain(sf_dir: str):
     )
 
 
+def _ev_points_ds(sf_dir: str, quantize: str | None = None):
+    import ray.data
+
+    from scala_timeseries_lib_ray.sources.events import events_to_points
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    return ev.groupby("event_type").map_groups(
+        lambda t: events_to_points(t, quantize), batch_format="pyarrow"
+    )
+
+
+def q_ev_points(sf_dir: str):
+    return _ev_points_ds(sf_dir)
+
+
+def q_ev_merge_plus(sf_dir: str):
+    from scala_timeseries_lib_ray.functions.merge import OPS
+    from scala_timeseries_lib_ray.stages.mergestage import merge_pair_exact
+
+    return merge_pair_exact(_ev_points_ds(sf_dir), "click", "view", OPS["plus"])
+
+
+def q_ev_fallback(sf_dir: str):
+    from scala_timeseries_lib_ray.functions.merge import OPS
+    from scala_timeseries_lib_ray.stages.mergestage import merge_pair_exact
+
+    return merge_pair_exact(_ev_points_ds(sf_dir), "click", "error", OPS["fallback"])
+
+
+def q_ev_strict_mul(sf_dir: str):
+    from scala_timeseries_lib_ray.functions.merge import OPS
+    from scala_timeseries_lib_ray.stages.mergestage import merge_pair_exact
+
+    return merge_pair_exact(_ev_points_ds(sf_dir), "click", "purchase", OPS["multiply"])
+
+
+def q_ev_sample_strict(sf_dir: str):
+    from scala_timeseries_lib_ray.stages.seriesops import sample_stage
+
+    return sample_stage(_ev_points_ds(sf_dir), rate=600_000, use_closest=False)
+
+
+def q_ev_step_integral(sf_dir: str):
+    from scala_timeseries_lib_ray.stages.seriesops import step_integral_stage
+
+    # time_unit 's' => contribution = value * validity (integer-exact with the
+    # int-quantized derivation; entries never exceed the 600s cap so no splitting)
+    return step_integral_stage(_ev_points_ds(sf_dir, "int"), step_length=600_000, time_unit="s")
+
+
+def q_ev_sliding_integral(sf_dir: str):
+    """slidingIntegral (strict sampling mode, 1h window, 10m rate) evaluated at the
+    sample points (point-wise evaluation keeps the oracle SQL a plain range join)."""
+    from scala_timeseries_lib_ray.functions.sample import sample_series
+    from scala_timeseries_lib_ray.functions.window import sliding_window_events
+    from scala_timeseries_lib_ray.stages.seriesops import per_series_stage
+
+    rate, window = 600_000, 3_600_000
+
+    def kernel(ts, v, d):
+        s_ts, s_v, s_d = sample_series(ts, v, d, int(ts[0]), rate, use_closest=False)
+        if len(s_ts) == 0:
+            return s_ts, s_v, s_d
+        w_ts, w_v, w_d = sliding_window_events(
+            s_ts, s_v, s_d, window, "integral", time_unit="s", compress=False
+        )
+        # evaluate the (uncompressed, gap-free) output series at each sample point
+        i = np.searchsorted(w_ts, s_ts, side="right") - 1
+        return s_ts, w_v[i], np.full(len(s_ts), rate, dtype=np.int64)
+
+    out = per_series_stage(_ev_points_ds(sf_dir, "int"), kernel)
+    return out.drop_columns(["validity"])
+
+
+def q_ev_sliding_min(sf_dir: str):
+    from scala_timeseries_lib_ray.stages.seriesops import sliding_window_stage
+
+    return sliding_window_stage(_ev_points_ds(sf_dir), width=3_600_000, agg="min")
+
+
+def q_ev_sliding_max(sf_dir: str):
+    from scala_timeseries_lib_ray.stages.seriesops import sliding_window_stage
+
+    return sliding_window_stage(_ev_points_ds(sf_dir), width=3_600_000, agg="max")
+
+
+def q_ev_sessions(sf_dir: str):
+    from scala_timeseries_lib_ray.stages.seriesops import dynamic_window_stage
+
+    return dynamic_window_stage(
+        _ev_points_ds(sf_dir, "cents"),
+        start_pred=lambda v: v >= 100,
+        stop_pred=lambda v: v < 100,
+        agg="sum",
+    )
+
+
+def q_ev_tier_1m(sf_dir: str):
+    from scala_timeseries_lib_ray.stages.rollup import rollup_tier
+
+    return rollup_tier(_ev_points_ds(sf_dir, "int"), 60_000)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -235,6 +509,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fit_compress": q_doc_fit_compress,
         "doc_gapfill_1m_lkv": q_doc_gapfill_1m_lkv,
         "doc_domain": q_doc_domain,
+        "ev_points": q_ev_points,
+        "ev_merge_plus": q_ev_merge_plus,
+        "ev_fallback": q_ev_fallback,
+        "ev_strict_mul": q_ev_strict_mul,
+        "ev_sample_strict": q_ev_sample_strict,
+        "ev_step_integral": q_ev_step_integral,
+        "ev_sliding_integral": q_ev_sliding_integral,
+        "ev_sliding_min": q_ev_sliding_min,
+        "ev_sliding_max": q_ev_sliding_max,
+        "ev_sessions": q_ev_sessions,
+        "ev_tier_1m": q_ev_tier_1m,
     }
 
 
@@ -247,4 +532,26 @@ def oracle_sql() -> dict[str, str]:
         "doc_fit_compress": SQL_DOC_FIT,
         "doc_gapfill_1m_lkv": SQL_DOC_GAPFILL,
         "doc_domain": SQL_DOC_DOMAIN,
+        "ev_points": _sql_ev_points("raw"),
+        "ev_merge_plus": _sql_ev_merge(
+            "click", "view",
+            "CASE WHEN va IS NOT NULL AND vb IS NOT NULL THEN va + vb "
+            "WHEN va IS NOT NULL THEN va ELSE vb END",
+            "va IS NOT NULL OR vb IS NOT NULL",
+        ),
+        "ev_fallback": _sql_ev_merge(
+            "click", "error",
+            "CASE WHEN va IS NOT NULL THEN va ELSE vb END",
+            "va IS NOT NULL OR vb IS NOT NULL",
+        ),
+        "ev_strict_mul": _sql_ev_merge(
+            "click", "purchase", "va * vb", "va IS NOT NULL AND vb IS NOT NULL"
+        ),
+        "ev_sample_strict": SQL_EV_SAMPLE,
+        "ev_step_integral": SQL_EV_STEP_INTEGRAL,
+        "ev_sliding_integral": SQL_EV_SLIDING_INTEGRAL,
+        "ev_sliding_min": _sql_ev_sliding_minmax("MIN"),
+        "ev_sliding_max": _sql_ev_sliding_minmax("MAX"),
+        "ev_sessions": SQL_EV_SESSIONS,
+        "ev_tier_1m": _sql_ev_tier(60000),
     }

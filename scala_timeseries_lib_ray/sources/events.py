@@ -42,10 +42,12 @@ def events_to_points(t: pa.Table, quantize: str | None = None) -> pa.Table:
     if len(src) > 1:
         gap = tsm[1:] - tsm[:-1]
         validity[:-1] = np.where(same, np.minimum(gap, EVENT_VALIDITY_CAP), EVENT_VALIDITY_CAP)
+    # half-away-from-zero rounding to match SQL ROUND (np.round is half-even)
     if quantize == "int":
-        val = np.round(val)
+        val = np.sign(val) * np.floor(np.abs(val) + 0.5)
     elif quantize == "cents":
-        val = np.round(val * 100)
+        v100 = val * 100
+        val = np.sign(v100) * np.floor(np.abs(v100) + 0.5)
     return pa.table(
         {
             "source": pa.array(src),
