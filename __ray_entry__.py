@@ -486,6 +486,196 @@ def q_ev_tier_1m(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# training-data prep: text analysis / dedup / ANN (pipelines/dataprep.py)
+# ---------------------------------------------------------------------------
+
+SQL_TEXT_STATS = r"""
+SELECT doc_id, length(text) AS n_chars,
+       length(regexp_extract_all(text, '\S+')) AS n_tokens,
+       length(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+       CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+         / GREATEST(length(text), 1) AS alpha_ratio
+FROM documents
+"""
+
+SQL_LANG_ID = r"""
+WITH s AS (
+  SELECT doc_id,
+    length(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) AS s_en,
+    length(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS s_de,
+    length(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS s_fr,
+    length(regexp_extract_all(lower(text), '\b(el|los|las|y|una)\b')) AS s_es,
+    length(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) AS s_zh
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+       WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+       WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+       WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS lang_pred,
+  GREATEST(s_en, s_de, s_fr, s_es, s_zh) AS score
+FROM s
+"""
+
+SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS md5 FROM documents"
+
+SQL_DEDUP_EXACT = """
+SELECT md5(lower(text)) AS text_hash, MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+         AS "rank"
+FROM s QUALIFY "rank" <= 5
+"""
+
+SQL_CENTROIDS = """
+WITH u AS (
+  SELECT label, unnest(embedding) AS x, unnest(range(len(embedding))) AS pos
+  FROM embeddings)
+SELECT label, pos, ROUND(SUM(x) / COUNT(*), 4) AS centroid, COUNT(*) AS n
+FROM u GROUP BY 1, 2
+"""
+
+
+def _docs_ds(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def _emb_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_text_stats(sf_dir: str):
+    from scala_timeseries_lib_ray.pipelines.dataprep import text_stats_batch
+
+    return _docs_ds(sf_dir).map_batches(text_stats_batch, batch_format="pyarrow")
+
+
+def q_lang_id(sf_dir: str):
+    from scala_timeseries_lib_ray.pipelines.dataprep import lang_id_batch
+
+    return _docs_ds(sf_dir).map_batches(lang_id_batch, batch_format="pyarrow")
+
+
+def q_fingerprint(sf_dir: str):
+    from scala_timeseries_lib_ray.pipelines.dataprep import fingerprint_batch
+
+    out = _docs_ds(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
+    return out.drop_columns(["rolling"])
+
+
+def q_fingerprint_rolling(sf_dir: str):
+    # rolling polynomial hash: no SQL equivalent -> rows-only check
+    from scala_timeseries_lib_ray.pipelines.dataprep import fingerprint_batch
+
+    return _docs_ds(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def q_dedup_exact(sf_dir: str):
+    from scala_timeseries_lib_ray.pipelines.dataprep import exact_dedup
+
+    return exact_dedup(_docs_ds(sf_dir))
+
+
+def _mutated_docs(sf_dir: str):
+    """documents ∪ truncated copies (planted near-duplicates, doc_id + 10_000_000)."""
+    import ray.data
+
+    def mutate(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+        texts = t.column("text").to_pylist()
+        cut = [s[: max(1, int(len(s) * 0.8))] for s in texts]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids + 10_000_000, pa.int64()),
+                "text": pa.array(cut),
+            }
+        )
+
+    base = _docs_ds(sf_dir)
+    return base.union(base.map_batches(mutate, batch_format="pyarrow"))
+
+
+def q_dedup_minhash(sf_dir: str):
+    from scala_timeseries_lib_ray.pipelines.dataprep import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_mutated_docs(sf_dir), threshold=0.5)
+
+
+def q_dedup_simhash(sf_dir: str):
+    from scala_timeseries_lib_ray.pipelines.dataprep import simhash_near_pairs
+
+    return simhash_near_pairs(_mutated_docs(sf_dir), max_hamming=3)
+
+
+def q_ann_topk(sf_dir: str):
+    from scala_timeseries_lib_ray.pipelines.dataprep import ann_topk
+
+    return ann_topk(_emb_ds(sf_dir), n_queries=8, k=5)
+
+
+def q_embedding_centroids(sf_dir: str):
+    from scala_timeseries_lib_ray.pipelines.dataprep import embedding_centroids
+
+    return embedding_centroids(_emb_ds(sf_dir))
+
+
+def q_dedup_embedding(sf_dir: str):
+    from scala_timeseries_lib_ray.pipelines.dataprep import embedding_near_dup_pairs
+
+    def mutate(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("vec_id").to_numpy(zero_copy_only=False))
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        X = np.asarray(emb.flatten().to_numpy(zero_copy_only=False), dtype=np.float64)
+        X = X.reshape(len(ids), -1)
+        # deterministic tiny perturbation -> planted near-duplicates
+        noise = ((ids[:, None] * 31 + np.arange(X.shape[1])[None, :]) % 13 - 6) * 1e-3
+        Xm = X + noise
+        return pa.table(
+            {
+                "vec_id": pa.array(ids + 10_000_000, pa.int64()),
+                "embedding": pa.array([r for r in Xm.astype(np.float32)], pa.list_(pa.float32())),
+                "label": t.column("label"),
+            }
+        )
+
+    base = _emb_ds(sf_dir)
+    both = base.union(base.map_batches(mutate, batch_format="pyarrow"))
+    return embedding_near_dup_pairs(both, threshold=0.98)
+
+
+def q_media_features(sf_dir: str):
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.multimodal import media_features, synth_media_batch
+
+    # deterministic fake media table sized by the documents table
+    n = _docs_ds(sf_dir, columns=("doc_id",)).count()
+    media = ray.data.from_arrow(synth_media_batch(np.arange(n, dtype=np.int64)))
+    out = media_features(media, concurrency=2, batch_size=64)
+    return out.drop_columns(["feature"]).map_batches(
+        lambda t: t.append_column(
+            "decoded_i", pa.compute.cast(t.column("decoded"), pa.int64())
+        ).drop_columns(["decoded"]),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -520,6 +710,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_sliding_max": q_ev_sliding_max,
         "ev_sessions": q_ev_sessions,
         "ev_tier_1m": q_ev_tier_1m,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "fingerprint_rolling": q_fingerprint_rolling,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_topk": q_ann_topk,
+        "embedding_centroids": q_embedding_centroids,
+        "media_features": q_media_features,
     }
 
 
@@ -554,4 +755,14 @@ def oracle_sql() -> dict[str, str]:
         "ev_sliding_max": _sql_ev_sliding_minmax("MAX"),
         "ev_sessions": SQL_EV_SESSIONS,
         "ev_tier_1m": _sql_ev_tier(60000),
+        "text_stats": SQL_TEXT_STATS,
+        "lang_id": SQL_LANG_ID,
+        "fingerprint": SQL_FINGERPRINT,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "ann_topk": SQL_ANN_TOPK,
+        "embedding_centroids": SQL_CENTROIDS,
+        # dedup_minhash / dedup_simhash / dedup_embedding / fingerprint_rolling /
+        # media_features: non-SQL-expressible (custom hashing / actor stages) ->
+        # rows-only driver check; planted-duplicate correctness is pinned in
+        # tests/test_dataprep.py
     }

@@ -1,0 +1,136 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads + typed
+metadata, processed by ACTOR-POOL map_batches stages.
+
+The container has no image/audio libraries, so the decoders are deterministic fakes
+behind a clearly-marked seam (``_decode_image_bytes``): they parse our own tiny
+header instead of PNG/JPEG. Everything around the seam — the Arrow ``large_binary``
+schema, the actor signature (state built once in ``__init__``), batch sizing for
+wide binary rows, and the feature-table output layout — is real and tested; swapping
+in a real decoder is a one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("kind", pa.string()),  # image | audio
+        pa.field("payload", pa.large_binary()),
+        pa.field("meta_width", pa.int32()),
+        pa.field("meta_height", pa.int32()),
+    ]
+)
+
+_MAGIC = b"FAKEMEDIA1"
+
+
+def synth_media_batch(ids: np.ndarray, kind: str = "image") -> pa.Table:
+    """Deterministic fake media: payload = magic + w:h header + seeded bytes."""
+    payloads, ws, hs = [], [], []
+    for i in ids:
+        w = 32 + int(i) % 64
+        h = 24 + int(i) % 48
+        body = hashlib.sha256(f"{kind}-{i}".encode()).digest() * 4
+        payloads.append(_MAGIC + w.to_bytes(2, "big") + h.to_bytes(2, "big") + body)
+        ws.append(w)
+        hs.append(h)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array([kind] * len(ids)),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "meta_width": pa.array(ws, pa.int32()),
+            "meta_height": pa.array(hs, pa.int32()),
+        }
+    )
+
+
+def _decode_image_bytes(payload: bytes) -> np.ndarray:
+    """STUB decoder — replace with PIL/libjpeg in a real deployment.
+
+    Raises NotImplementedError on payloads that are not our deterministic fake
+    format (i.e. real images cannot be decoded in this container)."""
+    if not payload.startswith(_MAGIC):
+        raise NotImplementedError(
+            "real image decoding is not available in this container (no PIL/libjpeg); "
+            "payload is not the deterministic fake format"
+        )
+    w = int.from_bytes(payload[10:12], "big")
+    h = int.from_bytes(payload[12:14], "big")
+    body = payload[14:]
+    # deterministic pixel field from the payload bytes
+    reps = (w * h * 3 + len(body) - 1) // len(body)
+    px = np.frombuffer(body * reps, dtype=np.uint8)[: w * h * 3]
+    return px.reshape(h, w, 3)
+
+
+class MediaFeatureActor:
+    """Actor-pool stage: 'loads a model' once per actor (here: builds a deterministic
+    projection matrix), then featurizes payloads per batch. Use with
+    ``map_batches(MediaFeatureActor, concurrency=N, batch_size=B, num_cpus=1)`` —
+    small batches, the binary payload dominates the bytes."""
+
+    DIM = 16
+
+    def __init__(self):
+        rng = np.random.default_rng(7)  # the "model load" — once per actor
+        self.proj = rng.normal(size=(3, self.DIM))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feats, ok = [], []
+        for payload in t.column("payload").to_pylist():
+            try:
+                img = _decode_image_bytes(payload)
+                mean_rgb = img.reshape(-1, 3).mean(axis=0)
+                feats.append(mean_rgb @ self.proj)
+                ok.append(True)
+            except NotImplementedError:
+                feats.append(np.zeros(self.DIM))
+                ok.append(False)
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "feature": pa.array([f.tolist() for f in feats], pa.list_(pa.float64())),
+                "decoded": pa.array(ok),
+            }
+        )
+
+
+class MediaResizeActor:
+    """Actor-pool resize stage (nearest-neighbor on the fake pixel field)."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16):
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        outs = []
+        for payload in t.column("payload").to_pylist():
+            img = _decode_image_bytes(payload)
+            ys = (np.arange(self.out_h) * img.shape[0] // self.out_h)
+            xs = (np.arange(self.out_w) * img.shape[1] // self.out_w)
+            small = img[np.ix_(ys, xs)]
+            outs.append(small.tobytes())
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "thumb": pa.array(outs, pa.large_binary()),
+                "thumb_w": pa.array([self.out_w] * len(t), pa.int32()),
+                "thumb_h": pa.array([self.out_h] * len(t), pa.int32()),
+            }
+        )
+
+
+def media_features(media: ray.data.Dataset, concurrency: int = 4, batch_size: int = 64) -> ray.data.Dataset:
+    return media.map_batches(
+        MediaFeatureActor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

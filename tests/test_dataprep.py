@@ -1,0 +1,151 @@
+"""Training-data prep operators: planted-duplicate correctness and stage plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(30, 60)).tolist()) for _ in range(40)
+    ]
+    # plant: doc 100+i is a truncated copy of doc i for i < 5
+    ids = list(range(40)) + [100 + i for i in range(5)]
+    texts = texts + [texts[i][: int(len(texts[i]) * 0.85)] for i in range(5)]
+    # plant: doc 200 is an EXACT copy of doc 0
+    ids.append(200)
+    texts.append(texts[0])
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    return ray.data.from_arrow(t)
+
+
+def test_exact_dedup_planted(docs_ds):
+    from scala_timeseries_lib_ray.pipelines.dataprep import exact_dedup
+
+    df = exact_dedup(docs_ds).to_pandas()
+    dup = df[df["n_copies"] > 1]
+    assert len(dup) == 1 and dup.iloc[0]["keep_doc_id"] == 0 and dup.iloc[0]["n_copies"] == 2
+    assert df["n_copies"].sum() == 46
+
+
+def test_minhash_lsh_planted(docs_ds):
+    from scala_timeseries_lib_ray.pipelines.dataprep import minhash_lsh_dedup
+
+    pairs = minhash_lsh_dedup(docs_ds, threshold=0.5).to_pandas()
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    for i in range(5):
+        assert (i, 100 + i) in found, f"planted near-dup ({i},{100+i}) missed: {found}"
+    assert (0, 200) in found  # exact copy has jaccard 1.0
+    jac = dict(zip(zip(pairs["doc_a"], pairs["doc_b"]), pairs["jaccard"]))
+    assert jac[(0, 200)] == 1.0
+
+
+def test_simhash_planted(docs_ds):
+    from scala_timeseries_lib_ray.pipelines.dataprep import simhash_near_pairs
+
+    pairs = simhash_near_pairs(docs_ds, max_hamming=10).to_pandas()
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 200) in found  # identical docs -> hamming 0
+    h = dict(zip(zip(pairs["doc_a"], pairs["doc_b"]), pairs["hamming"]))
+    assert h[(0, 200)] == 0
+
+
+def test_jaccard_kernel():
+    from scala_timeseries_lib_ray.pipelines.dataprep import jaccard
+
+    assert jaccard("a b c d e", "a b c d e") == 1.0
+    assert jaccard("a b c d e", "v w x y z") == 0.0
+
+
+def test_ann_topk_planted(ray_session):
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.dataprep import ann_topk
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(50, 8))
+    X[20] = X[2] * 3.0  # same direction as vec 2 -> cosine 1.0
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(50), pa.int64()),
+            "embedding": pa.array([r for r in X.astype(np.float32)], pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(50, dtype=np.int32)),
+        }
+    )
+    out = ann_topk(ray.data.from_arrow(t), n_queries=3, k=5).to_pandas()
+    q2 = out[(out["query_id"] == 2) & (out["rank"] == 1)]
+    assert q2.iloc[0]["neighbor_id"] == 20
+    assert not (out["neighbor_id"] == out["query_id"]).any()
+    assert (out.groupby("query_id")["rank"].max() == 5).all()
+
+
+def test_embedding_near_dup_planted(ray_session):
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.dataprep import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(30, 8))
+    X[25] = X[3] + 1e-4
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(30), pa.int64()),
+            "embedding": pa.array([r for r in X.astype(np.float32)], pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(30, dtype=np.int32)),
+        }
+    )
+    pairs = embedding_near_dup_pairs(ray.data.from_arrow(t), threshold=0.999).to_pandas()
+    assert (3, 25) in set(zip(pairs["vec_a"], pairs["vec_b"]))
+
+
+def test_media_stage(ray_session):
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.multimodal import (
+        MediaResizeActor,
+        _decode_image_bytes,
+        media_features,
+        synth_media_batch,
+    )
+
+    media = synth_media_batch(np.arange(20, dtype=np.int64))
+    ds = ray.data.from_arrow(media)
+    feats = media_features(ds, concurrency=2, batch_size=8).to_pandas()
+    assert len(feats) == 20 and feats["decoded"].all()
+    assert all(len(f) == 16 for f in feats["feature"])
+    # determinism across actors: same media -> same features
+    feats2 = media_features(ds, concurrency=2, batch_size=8).to_pandas()
+    a = np.stack(feats.sort_values("media_id")["feature"].to_numpy())
+    b = np.stack(feats2.sort_values("media_id")["feature"].to_numpy())
+    assert np.array_equal(a, b)
+    # resize stage produces fixed-size thumbs
+    thumbs = ds.map_batches(
+        MediaResizeActor, batch_format="pyarrow", batch_size=8, concurrency=2
+    ).to_pandas()
+    assert all(len(x) == 16 * 16 * 3 for x in thumbs["thumb"])
+    # real (non-fake) payloads must raise the documented stub error
+    with pytest.raises(NotImplementedError):
+        _decode_image_bytes(b"\x89PNG\r\n...")
+
+
+def test_text_kernels_deterministic():
+    from scala_timeseries_lib_ray.pipelines.dataprep import (
+        fingerprint_batch,
+        lang_id_batch,
+        text_stats_batch,
+    )
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["The cat and the dog.", "der hund und die katze ist"])})
+    stats = text_stats_batch(t).to_pydict()
+    assert stats["n_tokens"] == [5, 6]
+    assert stats["n_punct"] == [1, 0]
+    lang = lang_id_batch(t).to_pydict()
+    assert lang["lang_pred"] == ["en", "de"]
+    fp = fingerprint_batch(t).to_pydict()
+    assert fp["md5"][0] != fp["md5"][1] and len(fp["md5"][0]) == 32
