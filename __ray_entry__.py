@@ -675,6 +675,28 @@ def q_media_features(sf_dir: str):
     )
 
 
+def q_gorilla_roundtrip(sf_dir: str):
+    """Compress the derived doc points into Gorilla blocks and decompress them:
+    the result must be the identity — the oracle is the points SQL itself."""
+    from scala_timeseries_lib_ray.stages.gorillastage import decode_blocks, encode_blocks
+
+    pts = _doc_points_ds(sf_dir)
+    return decode_blocks(encode_blocks(pts, block_width=86_400_000))
+
+
+def q_gorilla_blocks(sf_dir: str):
+    # block inventory (sizes/types); bytes are dropped for the rows-only check
+    from scala_timeseries_lib_ray.stages.gorillastage import encode_blocks
+
+    blocks = encode_blocks(_doc_points_ds(sf_dir), block_width=86_400_000)
+    return blocks.map_batches(
+        lambda t: t.append_column(
+            "n_bytes", pa.array([len(b) for b in t.column("bytes").to_pylist()], pa.int64())
+        ).drop_columns(["bytes"]),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -721,6 +743,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "embedding_centroids": q_embedding_centroids,
         "media_features": q_media_features,
+        "gorilla_roundtrip": q_gorilla_roundtrip,
+        "gorilla_blocks": q_gorilla_blocks,
     }
 
 
@@ -761,6 +785,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "ann_topk": SQL_ANN_TOPK,
         "embedding_centroids": SQL_CENTROIDS,
+        "gorilla_roundtrip": SQL_DOC_POINTS,
         # dedup_minhash / dedup_simhash / dedup_embedding / fingerprint_rolling /
         # media_features: non-SQL-expressible (custom hashing / actor stages) ->
         # rows-only driver check; planted-duplicate correctness is pinned in

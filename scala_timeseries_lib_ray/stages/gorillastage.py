@@ -1,0 +1,189 @@
+"""Gorilla block stages: fitted points <-> compressed blocks Dataset.
+
+Blocks table schema (FIXTURES.md §2, container semantics per
+``archive/GorillaBlock.scala`` / ``GorillaSuperBlock.scala`` — the SuperBlock's
+offset index + footer become parquet row-group stats + the manifest):
+
+    source:string  bucket_ts:int64  bucket_end:int64  n_points:int32
+    block_type:string ('tuple'|'sampled')  sample_rate:int64  bytes:large_binary
+
+Two encode paths:
+- ``encode_blocks``: stateless grouped encode (coarse-chunk groups, python loop over
+  fine blocks inside — encoding is inherently per-block sequential).
+- ``GorillaIngestActor``: the stateful ACTOR-POOL path for ordered streaming
+  ingestion — each actor keeps one open builder per series, appends entries as
+  batches arrive in time order, and flushes a finished block whenever the series
+  crosses a block boundary (the reference's builder/appendable-stream surface,
+  ``archive/GorillaBlock.scala:162-300`` / ``zio/AppendableEntryStream.scala``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions.gorilla import (
+    compress_sampled_block,
+    compress_tuple_block,
+    decompress_sampled_block,
+    decompress_tuple_block,
+)
+
+BLOCKS_SCHEMA = pa.schema(
+    [
+        pa.field("source", pa.string()),
+        pa.field("bucket_ts", pa.int64()),
+        pa.field("bucket_end", pa.int64()),
+        pa.field("n_points", pa.int32()),
+        pa.field("block_type", pa.string()),
+        pa.field("sample_rate", pa.int64()),
+        pa.field("bytes", pa.large_binary()),
+    ]
+)
+
+
+def encode_block(source: str, block_ts: int, block_end: int, ts, value, validity) -> dict:
+    """Encode one (source, block): sampled layout when validities are constant
+    (``SampledGorillaBlock`` optimization), tuple layout otherwise."""
+    validity = np.asarray(validity)
+    if len(np.unique(validity)) == 1:
+        rate = int(validity[0])
+        data = compress_sampled_block(ts, value, int(block_ts))
+        btype = "sampled"
+    else:
+        rate = 0
+        data = compress_tuple_block(ts, value, validity, int(block_ts))
+        btype = "tuple"
+    return {
+        "source": source,
+        "bucket_ts": int(block_ts),
+        "bucket_end": int(block_end),
+        "n_points": len(ts),
+        "block_type": btype,
+        "sample_rate": rate,
+        "bytes": data,
+    }
+
+
+def encode_batch(t: pa.Table, block_width: int) -> pa.Table:
+    """Encode all (source, block_ts) segments present in a (sorted or sortable)
+    table. Usable in map_batches over shard-clustered data or map_groups."""
+    order = pa.compute.sort_indices(
+        t, sort_keys=[("source", "ascending"), ("ts", "ascending")]
+    )
+    t = t.take(order)
+    src = np.asarray(t.column("source").to_numpy(zero_copy_only=False))
+    ts = np.asarray(t.column("ts").to_numpy(zero_copy_only=False))
+    val = np.asarray(t.column("value").to_numpy(zero_copy_only=False))
+    dur = np.asarray(t.column("validity").to_numpy(zero_copy_only=False))
+    block = (
+        np.asarray(t.column("block_ts").to_numpy(zero_copy_only=False))
+        if "block_ts" in t.column_names
+        else (ts // block_width) * block_width
+    )
+    n = len(src)
+    rows = []
+    if n:
+        change = np.concatenate([[True], (src[1:] != src[:-1]) | (block[1:] != block[:-1])])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        for s, e in zip(starts, ends):
+            rows.append(
+                encode_block(
+                    src[s], int(block[s]), int(block[s]) + block_width, ts[s:e], val[s:e], dur[s:e]
+                )
+            )
+    return pa.Table.from_pylist(rows, schema=BLOCKS_SCHEMA)
+
+
+def encode_blocks(
+    fitted: ray.data.Dataset,
+    block_width: int = 3_600_000,
+) -> ray.data.Dataset:
+    """Shard-clustered points -> blocks dataset (no shuffle; each input shard holds
+    whole (source, block) segments when produced by fit_shards/fit_blocks)."""
+    return fitted.map_batches(
+        lambda t: encode_batch(t, block_width), batch_size=None, batch_format="pyarrow"
+    )
+
+
+def decode_blocks(blocks: ray.data.Dataset) -> ray.data.Dataset:
+    """blocks dataset -> points dataset (lazy per-batch decompression)."""
+
+    def decode(t: pa.Table) -> pa.Table:
+        srcs, tss, vals, durs = [], [], [], []
+        for row in t.to_pylist():
+            if row["block_type"] == "sampled":
+                b_ts, b_val, b_dur = decompress_sampled_block(row["bytes"], row["sample_rate"])
+            else:
+                b_ts, b_val, b_dur = decompress_tuple_block(row["bytes"])
+            srcs.append(np.repeat(row["source"], len(b_ts)))
+            tss.append(b_ts)
+            vals.append(b_val)
+            durs.append(b_dur)
+        if not tss:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "ts": pa.array([], pa.int64()),
+                    "value": pa.array([], pa.float64()),
+                    "validity": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "source": pa.array(np.concatenate(srcs)),
+                "ts": pa.array(np.concatenate(tss), pa.int64()),
+                "value": pa.array(np.concatenate(vals), pa.float64()),
+                "validity": pa.array(np.concatenate(durs), pa.int64()),
+            }
+        )
+
+    return blocks.map_batches(decode, batch_format="pyarrow")
+
+
+class GorillaIngestActor:
+    """Stateful actor-pool stage: per-series open blocks, flushed when a batch shows
+    the series has crossed a block boundary. Feed it batches in per-series time
+    order (one partition per series-hash so a given series always hits the same
+    actor). Emits finished blocks; call flush at end-of-stream for the tails."""
+
+    def __init__(self, block_width: int = 3_600_000):
+        self.block_width = block_width
+        self.open: dict[str, list] = {}  # source -> [ts list, val list, dur list, block_ts]
+
+    def _flush(self, source: str) -> dict:
+        ts, val, dur, block_ts = self.open.pop(source)
+        return encode_block(
+            source,
+            block_ts,
+            block_ts + self.block_width,
+            np.array(ts, dtype=np.int64),
+            np.array(val, dtype=np.float64),
+            np.array(dur, dtype=np.int64),
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = []
+        src = np.asarray(t.column("source").to_numpy(zero_copy_only=False))
+        ts = np.asarray(t.column("ts").to_numpy(zero_copy_only=False))
+        val = np.asarray(t.column("value").to_numpy(zero_copy_only=False))
+        dur = np.asarray(t.column("validity").to_numpy(zero_copy_only=False))
+        for i in range(len(src)):
+            b = int(ts[i] // self.block_width) * self.block_width
+            state = self.open.get(src[i])
+            if state is not None and state[3] != b:
+                rows.append(self._flush(src[i]))
+                state = None
+            if state is None:
+                self.open[src[i]] = [[], [], [], b]
+                state = self.open[src[i]]
+            state[0].append(int(ts[i]))
+            state[1].append(float(val[i]))
+            state[2].append(int(dur[i]))
+        return pa.Table.from_pylist(rows, schema=BLOCKS_SCHEMA)
+
+    def flush_all(self) -> pa.Table:
+        rows = [self._flush(s) for s in sorted(self.open)]
+        return pa.Table.from_pylist(rows, schema=BLOCKS_SCHEMA)

@@ -1,0 +1,128 @@
+"""Gorilla Ray stages, reservoir stats, and resumable manifests."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from scala_timeseries_lib_ray.functions.stats import UniformReservoir
+from scala_timeseries_lib_ray.sources.tokens import (
+    derive_points_batch,
+    synth_token_batch,
+)
+
+
+def test_reservoir_small_exact():
+    r = UniformReservoir(size=100, seed=1)
+    vals = np.arange(10, dtype=np.float64)
+    s = r.update_many(vals).snapshot()
+    assert s.min == 0.0 and s.max == 9.0 and s.mean == 4.5
+    # sample std (n-1): std of 0..9 = sqrt(110/12... ) compute directly
+    assert abs(s.std_dev - np.std(vals, ddof=1)) < 1e-12
+    # interpolated median: pos=.5*11=5.5 -> idx 5 -> s[4] + .5*(s[5]-s[4]) = 4.5
+    assert s.median == 4.5
+
+
+def test_reservoir_large_is_uniformish():
+    r = UniformReservoir(size=500, seed=7)
+    r.update_many(np.random.default_rng(0).normal(100, 10, 50_000))
+    s = r.snapshot()
+    assert abs(s.mean - 100) < 2 and abs(s.std_dev - 10) < 2
+    assert r.count == 50_000
+
+
+def test_reservoir_merge():
+    a = UniformReservoir(size=100, seed=1).update_many(np.full(1000, 1.0))
+    b = UniformReservoir(size=100, seed=2).update_many(np.full(3000, 5.0))
+    m = a.merge(b)
+    s = m.snapshot()
+    assert s.min == 1.0 and s.max == 5.0 and m.count == 4000
+    assert 3.0 < s.mean <= 5.0  # ~75% of slots from b
+
+
+def _points_ds(ray):
+    import ray.data
+
+    t = derive_points_batch(synth_token_batch("src0", 0, 3000))
+    return ray.data.from_arrow(t).repartition(4), t
+
+
+def test_gorilla_encode_decode_roundtrip(ray_session):
+    from scala_timeseries_lib_ray.stages.gorillastage import decode_blocks, encode_blocks
+
+    ds, t = _points_ds(ray_session)
+    blocks = encode_blocks(ds, block_width=3_600_000)
+    bdf = blocks.to_pandas()
+    assert (bdf["block_type"] == "tuple").any() or (bdf["block_type"] == "sampled").any()
+    # round trip
+    back = (
+        decode_blocks(encode_blocks(ds, block_width=3_600_000))
+        .to_pandas()
+        .sort_values(["source", "ts"])
+        .reset_index(drop=True)
+    )
+    want = t.to_pandas().sort_values(["source", "ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, want)
+    # compression actually compresses
+    raw_bytes = len(want) * 24
+    comp_bytes = bdf["bytes"].map(len).sum()
+    assert comp_bytes < raw_bytes * 0.7
+
+
+def test_gorilla_ingest_actor():
+    from scala_timeseries_lib_ray.stages.gorillastage import (
+        GorillaIngestActor,
+        decode_blocks,
+    )
+    from scala_timeseries_lib_ray.functions.gorilla import decompress_sampled_block, decompress_tuple_block
+
+    t = derive_points_batch(synth_token_batch("src0", 0, 500))
+    actor = GorillaIngestActor(block_width=600_000)
+    # feed in two ordered chunks as a stream would
+    out1 = actor(t.slice(0, 200))
+    out2 = actor(t.slice(200))
+    tail = actor.flush_all()
+    blocks = pa.concat_tables([out1, out2, tail]).to_pylist()
+    tss, vals, durs = [], [], []
+    for row in blocks:
+        if row["block_type"] == "sampled":
+            b = decompress_sampled_block(row["bytes"], row["sample_rate"])
+        else:
+            b = decompress_tuple_block(row["bytes"])
+        tss.append(b[0]); vals.append(b[1]); durs.append(b[2])
+    got = np.concatenate(tss)
+    order = np.argsort(got)
+    assert np.array_equal(got[order], t.column("ts").to_numpy())
+    assert np.array_equal(np.concatenate(vals)[order], t.column("value").to_numpy())
+    assert np.array_equal(np.concatenate(durs)[order], t.column("validity").to_numpy())
+
+
+def test_resumable_cascade(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from scala_timeseries_lib_ray.stages.manifest import run_cascade_resumable, unit_complete
+
+    tokens_path = str(tmp_path / "tokens")
+    os.makedirs(tokens_path)
+    for s in ("src0", "src1"):
+        pq.write_table(synth_token_batch(s, 0, 2000), f"{tokens_path}/{s}.parquet")
+    out_dir = str(tmp_path / "out")
+
+    m1 = run_cascade_resumable(tokens_path, out_dir)
+    assert not m1["tier_1m"]["skipped"] and not m1["tier_1d"]["skipped"]
+    assert all(unit_complete(out_dir, n) for n in ("tier_1m", "tier_1h", "tier_1d"))
+    assert m1["tier_1m"]["rows"] > 0 and m1["tier_1m"]["value_checksum"]
+    assert m1["tier_1m"]["stats"]["min"] > 0
+
+    # second run: everything skipped
+    m2 = run_cascade_resumable(tokens_path, out_dir)
+    assert all(m2[n]["skipped"] for n in m2)
+    # kill one tier -> only that tier recomputes, checksum identical (determinism)
+    import shutil
+
+    shutil.rmtree(os.path.join(out_dir, "tier_1h"))
+    m3 = run_cascade_resumable(tokens_path, out_dir)
+    assert m3["tier_1m"]["skipped"] and not m3["tier_1h"]["skipped"] and m3["tier_1d"]["skipped"]
+    assert m3["tier_1h"]["value_checksum"] == m1["tier_1h"]["value_checksum"]
