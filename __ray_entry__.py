@@ -675,6 +675,310 @@ def q_media_features(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# remaining operator-surface queries (trim/slice, split, map/filter, splice,
+# strict zip, N-ary merge, time-aware sliding mean/std, retention, domains)
+# ---------------------------------------------------------------------------
+
+SLICE_FROM = 1_700_000_000_000 + 20_000
+SLICE_TO = 1_700_000_000_000 + 200_000
+
+SQL_DOC_SLICE = f"""
+WITH pts AS ({SQL_DOC_POINTS})
+SELECT source, GREATEST(ts, {SLICE_FROM}) AS ts, value,
+       LEAST(ts + validity, {SLICE_TO}) - GREATEST(ts, {SLICE_FROM}) AS validity
+FROM pts WHERE ts < {SLICE_TO} AND ts + validity > {SLICE_FROM}
+"""
+
+SQL_DOC_SPLIT_LONG = f"""
+WITH pts AS ({SQL_DOC_POINTS})
+SELECT source, unnest(generate_series(ts, ts + validity - 1, 1000)) AS ts, value,
+       LEAST(1000, ts + validity - unnest(generate_series(ts, ts + validity - 1, 1000)))
+         AS validity
+FROM pts
+"""
+
+SQL_DOC_MAP_FILTER = f"""
+WITH pts AS ({SQL_DOC_POINTS})
+SELECT source, ts, value * 2 + 1 AS value, validity FROM pts WHERE value > 1000
+"""
+
+
+def _sql_horizon_retention(width: int, lo: int, hi: int) -> str:
+    return f"SELECT * FROM ({_sql_tier(width)}) WHERE bucket_ts >= {lo} AND bucket_ts < {hi}"
+
+
+# window chosen to overlap the derived timeline at every sf (buckets start at the
+# floor-aligned T0 bucket)
+RET_LO = 1_700_000_000_000 // 60_000 * 60_000
+RET_HI = RET_LO + 120_000
+
+SQL_DOC_DOMAIN_SETOPS = f"""
+WITH pts AS ({SQL_DOC_POINTS}),
+d AS (SELECT source, MIN(ts) AS s, MAX(ts + validity) AS e FROM pts GROUP BY source)
+SELECT MIN(s) AS union_start, MAX(e) AS union_end,
+       MAX(s) AS intersect_start, MIN(e) AS intersect_end
+FROM d
+"""
+
+SQL_EV_APPEND = f"""
+WITH pts AS ({_sql_ev_points("raw")}),
+a AS (SELECT ts, value, validity FROM pts WHERE source = 'click'),
+b AS (SELECT ts, value, validity FROM pts WHERE source = 'view'),
+rts AS (SELECT MIN(ts) AS t FROM b),
+u AS (
+  SELECT a.ts, a.value, LEAST(a.validity, rts.t - a.ts) AS validity FROM a, rts
+  WHERE a.ts < rts.t
+  UNION ALL SELECT ts, value, validity FROM b
+),
+c AS (
+  SELECT ts, value, validity,
+         CASE WHEN value = LAG(value) OVER w AND ts <= LAG(ts + validity) OVER w
+              THEN 0 ELSE 1 END AS brk
+  FROM u WINDOW w AS (ORDER BY ts)
+),
+i AS (SELECT *, SUM(brk) OVER (ORDER BY ts) AS island FROM c),
+runs AS (
+  SELECT island, MIN(ts) AS ts, ANY_VALUE(value) AS value,
+         arg_max(ts + validity, ts) AS run_end
+  FROM i GROUP BY 1
+)
+SELECT 'click+view' AS source, ts, value,
+       LEAST(run_end, COALESCE(LEAD(ts) OVER (ORDER BY ts), run_end)) - ts AS validity
+FROM runs
+"""
+
+SQL_EV_STRICT_ZIP = f"""
+WITH pts AS ({_sql_ev_points("raw")}),
+sa AS (SELECT ts, value, validity FROM pts WHERE source = 'click'),
+sb AS (SELECT ts, value, validity FROM pts WHERE source = 'view'),
+bounds AS (
+  SELECT DISTINCT t FROM (
+    SELECT ts AS t FROM sa UNION ALL SELECT ts + validity FROM sa
+    UNION ALL SELECT ts FROM sb UNION ALL SELECT ts + validity FROM sb)
+),
+seg0 AS (SELECT t AS ts, LEAD(t) OVER (ORDER BY t) AS t_end FROM bounds),
+seg AS (
+  SELECT s.ts, s.t_end,
+         (SELECT value FROM sa WHERE sa.ts <= s.ts AND s.ts < sa.ts + sa.validity) AS value_a,
+         (SELECT value FROM sb WHERE sb.ts <= s.ts AND s.ts < sb.ts + sb.validity) AS value_b
+  FROM seg0 s WHERE s.t_end IS NOT NULL
+)
+SELECT 'click+view' AS source, ts, value_a, value_b, t_end - ts AS validity
+FROM seg WHERE value_a IS NOT NULL AND value_b IS NOT NULL
+"""
+
+SQL_EV_MERGE_NARY = f"""
+WITH pts AS ({_sql_ev_points("raw")}),
+sa AS (SELECT ts, value, validity FROM pts WHERE source = 'click'),
+sb AS (SELECT ts, value, validity FROM pts WHERE source = 'view'),
+sc AS (SELECT ts, value, validity FROM pts WHERE source = 'purchase'),
+bounds AS (
+  SELECT DISTINCT t FROM (
+    SELECT ts AS t FROM sa UNION ALL SELECT ts + validity FROM sa
+    UNION ALL SELECT ts FROM sb UNION ALL SELECT ts + validity FROM sb
+    UNION ALL SELECT ts FROM sc UNION ALL SELECT ts + validity FROM sc)
+),
+seg0 AS (SELECT t AS ts, LEAD(t) OVER (ORDER BY t) AS t_end FROM bounds),
+seg AS (
+  SELECT s.ts, s.t_end,
+         (SELECT value FROM sa WHERE sa.ts <= s.ts AND s.ts < sa.ts + sa.validity) AS va,
+         (SELECT value FROM sb WHERE sb.ts <= s.ts AND s.ts < sb.ts + sb.validity) AS vb,
+         (SELECT value FROM sc WHERE sc.ts <= s.ts AND s.ts < sc.ts + sc.validity) AS vc
+  FROM seg0 s WHERE s.t_end IS NOT NULL
+),
+m AS (
+  SELECT ts, t_end, COALESCE(va, 0) + COALESCE(vb, 0) + COALESCE(vc, 0) AS value
+  FROM seg WHERE va IS NOT NULL OR vb IS NOT NULL OR vc IS NOT NULL
+),
+c AS (
+  SELECT ts, t_end, value,
+         CASE WHEN value = LAG(value) OVER (ORDER BY ts)
+                   AND ts = LAG(t_end) OVER (ORDER BY ts)
+              THEN 0 ELSE 1 END AS brk
+  FROM m
+),
+i AS (SELECT *, SUM(brk) OVER (ORDER BY ts) AS island FROM c)
+SELECT 'click+view+purchase' AS source, MIN(ts) AS ts, ANY_VALUE(value) AS value,
+       MAX(t_end) - MIN(ts) AS validity
+FROM i GROUP BY island
+"""
+
+
+def _sql_ev_sliding_meanstd(which: str, rate: int = 600_000, window: int = 3_600_000) -> str:
+    val = (
+        "CAST(s1 AS DOUBLE) / d"
+        if which == "mean"
+        else "SQRT(GREATEST(CAST(s2 AS DOUBLE) / d - (CAST(s1 AS DOUBLE) / d) * (CAST(s1 AS DOUBLE) / d), 0))"
+    )
+    return f"""
+WITH pts AS ({_sql_ev_points("int")}),
+dom AS (SELECT source, MIN(ts) AS t0, MAX(ts + validity) AS t1 FROM pts GROUP BY source),
+grid AS (SELECT source, unnest(generate_series(t0, t1 - 1, {rate})) AS p FROM dom),
+samp AS (
+  SELECT g.source, g.p,
+         (SELECT value FROM pts e
+          WHERE e.source = g.source AND e.ts <= g.p AND g.p < e.ts + e.validity) AS v
+  FROM grid g
+),
+s AS (SELECT * FROM samp WHERE v IS NOT NULL),
+agg AS (
+  SELECT a.source, a.p AS ts,
+         (SELECT SUM(b.v * {rate}) FROM s b
+          WHERE b.source = a.source AND b.p <= a.p AND a.p < b.p + {rate} + {window}) AS s1,
+         (SELECT SUM(b.v * b.v * {rate}) FROM s b
+          WHERE b.source = a.source AND b.p <= a.p AND a.p < b.p + {rate} + {window}) AS s2,
+         (SELECT SUM({rate}) FROM s b
+          WHERE b.source = a.source AND b.p <= a.p AND a.p < b.p + {rate} + {window}) AS d
+  FROM s a
+)
+SELECT source, ts, {val} AS value FROM agg
+"""
+
+
+def q_doc_slice(sf_dir: str):
+    from scala_timeseries_lib_ray.functions.trim import slice_table
+
+    return _doc_points_ds(sf_dir).map_batches(
+        lambda t: slice_table(t, SLICE_FROM, SLICE_TO), batch_format="pyarrow"
+    )
+
+
+def q_doc_split_long(sf_dir: str):
+    from scala_timeseries_lib_ray.functions.transform import split_longer_than_table
+
+    return _doc_points_ds(sf_dir).map_batches(
+        lambda t: split_longer_than_table(t, 1000), batch_format="pyarrow"
+    )
+
+
+def q_doc_map_filter(sf_dir: str):
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.greater(t.column("value"), 1000.0))
+        v = pa.compute.add(pa.compute.multiply(t.column("value"), 2.0), 1.0)
+        return t.set_column(t.schema.get_field_index("value"), "value", v)
+
+    return _doc_points_ds(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
+def q_doc_retention_1m(sf_dir: str):
+    from scala_timeseries_lib_ray.pipelines.cascade import apply_retention
+
+    tiers = apply_retention(
+        {"tier_1m": _tiers(sf_dir)["tier_1m"]}, {"tier_1m": (RET_LO, RET_HI)}
+    )
+    return tiers["tier_1m"]
+
+
+def q_doc_domain_setops(sf_dir: str):
+    import pandas as pd
+
+    from scala_timeseries_lib_ray.functions.domain import (
+        intersect_loose_domains,
+        union_loose_domains,
+    )
+
+    doms = q_doc_domain(sf_dir).to_pandas()
+    pairs = list(zip(doms["domain_start"], doms["domain_end"]))
+    u = union_loose_domains(pairs)
+    i = intersect_loose_domains(pairs)
+    return pd.DataFrame(
+        [
+            {
+                "union_start": u[0],
+                "union_end": u[1],
+                "intersect_start": i[0] if i else None,
+                "intersect_end": i[1] if i else None,
+            }
+        ]
+    )
+
+
+def q_ev_append(sf_dir: str):
+    from scala_timeseries_lib_ray.functions.splice import append_series
+    from scala_timeseries_lib_ray.stages.mergestage import _merged_table, _series_from_table
+
+    def fn(t: pa.Table) -> pa.Table:
+        a = _series_from_table(t, "click")
+        b = _series_from_table(t, "view")
+        return _merged_table("click+view", append_series(a, b))
+
+    tagged = _ev_points_ds(sf_dir).map_batches(
+        lambda t: t.append_column("_g", pa.array(np.zeros(len(t), dtype=np.int64))),
+        batch_format="pyarrow",
+    )
+    return tagged.groupby("_g").map_groups(
+        lambda t: fn(t.drop_columns(["_g"])), batch_format="pyarrow"
+    )
+
+
+def q_ev_strict_zip(sf_dir: str):
+    from scala_timeseries_lib_ray.functions.merge import OPS
+    from scala_timeseries_lib_ray.stages.mergestage import merge_pair_exact
+
+    return merge_pair_exact(_ev_points_ds(sf_dir), "click", "view", OPS["strict_zip"])
+
+
+def q_ev_merge_nary(sf_dir: str):
+    from scala_timeseries_lib_ray.functions.merge import OPS, merge_sweep
+    from scala_timeseries_lib_ray.stages.mergestage import _merged_table, _series_from_table
+
+    def fn(t: pa.Table) -> pa.Table:
+        series = [_series_from_table(t, s) for s in ("click", "view", "purchase")]
+        return _merged_table("click+view+purchase", merge_sweep(series, OPS["plus_nary"]))
+
+    tagged = _ev_points_ds(sf_dir).map_batches(
+        lambda t: t.append_column("_g", pa.array(np.zeros(len(t), dtype=np.int64))),
+        batch_format="pyarrow",
+    )
+    return tagged.groupby("_g").map_groups(
+        lambda t: fn(t.drop_columns(["_g"])), batch_format="pyarrow"
+    )
+
+
+def _ev_sliding_meanstd(sf_dir: str, agg: str):
+    from scala_timeseries_lib_ray.functions.sample import sample_series
+    from scala_timeseries_lib_ray.functions.window import sliding_window_events
+    from scala_timeseries_lib_ray.stages.seriesops import per_series_stage
+
+    rate, window = 600_000, 3_600_000
+
+    def kernel(ts, v, d):
+        s_ts, s_v, s_d = sample_series(ts, v, d, int(ts[0]), rate, use_closest=False)
+        if len(s_ts) == 0:
+            return s_ts, s_v, s_d
+        w_ts, w_v, w_d = sliding_window_events(s_ts, s_v, s_d, window, agg, compress=False)
+        i = np.searchsorted(w_ts, s_ts, side="right") - 1
+        return s_ts, w_v[i], np.full(len(s_ts), rate, dtype=np.int64)
+
+    out = per_series_stage(_ev_points_ds(sf_dir, "int"), kernel)
+    return out.drop_columns(["validity"])
+
+
+def q_ev_sliding_mean(sf_dir: str):
+    return _ev_sliding_meanstd(sf_dir, "mean")
+
+
+def q_ev_sliding_std(sf_dir: str):
+    return _ev_sliding_meanstd(sf_dir, "std")
+
+
+def q_ev_sample_closest(sf_dir: str):
+    # closest-mode tie-break rules are pinned by pytest goldens; rows-only here
+    from scala_timeseries_lib_ray.stages.seriesops import sample_stage
+
+    return sample_stage(_ev_points_ds(sf_dir), rate=600_000, use_closest=True)
+
+
+def q_tokens_invariant(sf_dir: str):
+    import pandas as pd
+
+    from scala_timeseries_lib_ray.pipelines.invariant import verify_tokens
+
+    res = verify_tokens(_doc_tokens_ds(sf_dir, with_tokens=True))
+    return pd.DataFrame([res])
+
+
 def q_gorilla_roundtrip(sf_dir: str):
     """Compress the derived doc points into Gorilla blocks and decompress them:
     the result must be the identity — the oracle is the points SQL itself."""
@@ -745,6 +1049,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "gorilla_blocks": q_gorilla_blocks,
+        "doc_slice": q_doc_slice,
+        "doc_split_long": q_doc_split_long,
+        "doc_map_filter": q_doc_map_filter,
+        "doc_retention_1m": q_doc_retention_1m,
+        "doc_domain_setops": q_doc_domain_setops,
+        "ev_append": q_ev_append,
+        "ev_strict_zip": q_ev_strict_zip,
+        "ev_merge_nary": q_ev_merge_nary,
+        "ev_sliding_mean": q_ev_sliding_mean,
+        "ev_sliding_std": q_ev_sliding_std,
+        "ev_sample_closest": q_ev_sample_closest,
+        "tokens_invariant": q_tokens_invariant,
     }
 
 
@@ -786,6 +1102,17 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": SQL_ANN_TOPK,
         "embedding_centroids": SQL_CENTROIDS,
         "gorilla_roundtrip": SQL_DOC_POINTS,
+        "doc_slice": SQL_DOC_SLICE,
+        "doc_split_long": SQL_DOC_SPLIT_LONG,
+        "doc_map_filter": SQL_DOC_MAP_FILTER,
+        "doc_retention_1m": _sql_horizon_retention(60000, RET_LO, RET_HI),
+        "doc_domain_setops": SQL_DOC_DOMAIN_SETOPS,
+        "ev_append": SQL_EV_APPEND,
+        "ev_strict_zip": SQL_EV_STRICT_ZIP,
+        "ev_merge_nary": SQL_EV_MERGE_NARY,
+        "ev_sliding_mean": _sql_ev_sliding_meanstd("mean"),
+        "ev_sliding_std": _sql_ev_sliding_meanstd("std"),
+        # ev_sample_closest / tokens_invariant: rows-only
         # dedup_minhash / dedup_simhash / dedup_embedding / fingerprint_rolling /
         # media_features: non-SQL-expressible (custom hashing / actor stages) ->
         # rows-only driver check; planted-duplicate correctness is pinned in

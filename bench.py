@@ -50,22 +50,26 @@ def ensure_bench_table(sf: float) -> tuple[str, int]:
     from scala_timeseries_lib_ray.sources.tokens import NTOK_MIN, NTOK_MOD, zipf_source_counts
 
     path, n_docs = bench_table_path(sf)
+    path += "-v2"  # sharded layout: many files per source for parallel reads
     os.makedirs(path, exist_ok=True)
     counts = zipf_source_counts(n_docs, 8)
+    shard = max(n_docs // 64, 262_144)
     for source, cnt in counts.items():
-        fn = os.path.join(path, f"{source}.parquet")
-        if os.path.exists(fn):
-            continue
-        r = np.arange(cnt, dtype=np.int64)
-        n_tok = (NTOK_MIN + (r * 31 + 42 * 7) % NTOK_MOD).astype(np.int32)
-        t = pa.table(
-            {
-                "doc_id": pa.array([f"{source}-{int(x):08d}" for x in r]),
-                "n_tok": pa.array(n_tok),
-                "source": pa.array([source] * cnt),
-            }
-        )
-        pq.write_table(t, fn, row_group_size=262_144)
+        for lo in range(0, cnt, shard):
+            hi = min(lo + shard, cnt)
+            fn = os.path.join(path, f"{source}-{lo:010d}.parquet")
+            if os.path.exists(fn):
+                continue
+            r = np.arange(lo, hi, dtype=np.int64)
+            n_tok = (NTOK_MIN + (r * 31 + 42 * 7) % NTOK_MOD).astype(np.int32)
+            t = pa.table(
+                {
+                    "doc_id": pa.array([f"{source}-{int(x):08d}" for x in r]),
+                    "n_tok": pa.array(n_tok),
+                    "source": pa.array([source] * len(r)),
+                }
+            )
+            pq.write_table(t, fn, row_group_size=262_144)
     return path, n_docs
 
 
@@ -81,13 +85,10 @@ def run_headline(ray, path: str) -> tuple[float, int]:
     tokens = rd.read_parquet(path, columns=["doc_id", "n_tok", "source"])
     points = derive_points(tokens)
     fitted = fit_shards(points, block_width=MS_1H)
-    t1m = rollup_tier(fitted, 60_000).materialize()  # tier tables are small aggregates
+    t1m = rollup_tier(fitted, 60_000, combine="edges").materialize()
     t1h = reaggregate_tier(t1m, MS_1H).materialize()
     t1d = reaggregate_tier(t1h, MS_1D).materialize()
-    n_points = sum(
-        int(x["count"]) for x in t1m.select_columns(["count"]).take_all()
-    )
-    # touch the coarser tiers so nothing is left unexecuted
+    n_points = int(t1m.sum("count"))  # distributed: no driver-side row pull
     _ = t1h.count(), t1d.count()
     return time.time() - t0, n_points
 
@@ -107,7 +108,7 @@ def run_payload_cascade(ray, sf: float) -> float:
     write_synth_token_table(path, n_docs, n_sources=8)
     t0 = time.time()
     tokens = rd.read_parquet(path, columns=["doc_id", "n_tok", "source"])  # prune payload
-    t1m = rollup_tier(derive_points(tokens), 60_000)
+    t1m = rollup_tier(derive_points(tokens), 60_000, combine="edges")
     _ = t1m.count()
     audit = verify_tokens(rd.read_parquet(path))  # full read incl. payload
     assert audit["mismatches"] == 0
@@ -129,10 +130,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
 
 def main() -> None:
     if "--scaling" in sys.argv:
-        # 4x the table so compute dominates Ray's fixed scheduling overhead and the
+        # 8x the table so compute dominates Ray's fixed scheduling overhead and the
         # 8-vs-32-cpu comparison measures the engine, not startup
         sf = sf_of(SF_DIR)
-        scale_docs = 4 * bench_table_path(sf)[1]
+        scale_docs = 8 * bench_table_path(sf)[1]
         results = {}
         for ncpu in (8, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),

@@ -21,6 +21,24 @@ import pyarrow as pa
 from .core import TIER_SCHEMA, table_to_arrays
 
 
+
+def _key_codes(t: pa.Table, keys: tuple[str, ...]):
+    """Dictionary-encode key columns -> (int32 code arrays, dictionary arrays).
+    Avoids numpy object-string arrays entirely (C-speed encode + final take)."""
+    codes, dicts = [], []
+    for k in keys:
+        col = t.column(k)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_dictionary(col.type):
+            enc = col
+        else:
+            enc = pa.compute.dictionary_encode(col)
+        codes.append(np.asarray(enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64))
+        dicts.append(enc.dictionary)
+    return codes, dicts
+
+
 def bucket_split_arrays(
     ts: np.ndarray,
     validity: np.ndarray,
@@ -57,26 +75,22 @@ def rollup_partials_table(
     width: int,
     origin: int = 0,
     keys: tuple[str, ...] = ("source",),
+    mark_edges: bool = False,
 ) -> pa.Table:
     """Per-batch partial rollup: split at boundaries then aggregate per (keys, bucket)
     WITHIN the batch. Emits the algebraic vector — rows shrink from #points to
     #(series × touched buckets), making the downstream groupby shuffle small.
     """
-    arrs = table_to_arrays(t)
-    new_ts, new_validity, bucket_ts, src = bucket_split_arrays(
-        arrs["ts"], arrs["validity"], width, origin
-    )
-    value = np.asarray(arrs["value"], dtype=np.float64)[src]
-    key_cols = [np.asarray(arrs[k])[src] for k in keys]
+    ts_a = np.asarray(t.column("ts").combine_chunks().to_numpy(zero_copy_only=False))
+    dur_a = np.asarray(t.column("validity").combine_chunks().to_numpy(zero_copy_only=False))
+    new_ts, new_validity, bucket_ts, src = bucket_split_arrays(ts_a, dur_a, width, origin)
+    value = np.asarray(
+        t.column("value").combine_chunks().to_numpy(zero_copy_only=False), dtype=np.float64
+    )[src]
+    key_codes, key_dicts = _key_codes(t, keys)
+    key_cols = [c[src] for c in key_codes]
 
-    # group within batch: lexsort by (keys..., bucket)
-    order = np.lexsort((bucket_ts, *key_cols[::-1]))
-    b_sorted = bucket_ts[order]
-    v_sorted = value[order]
-    d_sorted = new_validity[order]
-    k_sorted = [k[order] for k in key_cols]
-
-    m = len(order)
+    m = len(src)
     if m == 0:
         return pa.table(
             {
@@ -90,6 +104,26 @@ def rollup_partials_table(
                 "wdur": pa.array([], type=pa.int64()),
             }
         )
+    # group within batch: lexsort by (key codes..., bucket), with an O(n)
+    # already-sorted fast path (shard-clustered inputs arrive sorted)
+    order = None
+    lex_keys = (bucket_ts, *key_cols[::-1])
+    ok = np.ones(m - 1, dtype=bool) if m > 1 else np.zeros(0, dtype=bool)
+    tie = np.ones(m - 1, dtype=bool) if m > 1 else ok
+    for arr in key_cols + [bucket_ts]:
+        d = arr[1:] - arr[:-1]
+        ok &= np.where(tie, d >= 0, True)
+        tie = tie & (d == 0)
+    if m > 1 and not ok.all():
+        order = np.lexsort(lex_keys)
+    if order is not None:
+        b_sorted = bucket_ts[order]
+        v_sorted = value[order]
+        d_sorted = new_validity[order]
+        k_sorted = [k[order] for k in key_cols]
+    else:
+        b_sorted, v_sorted, d_sorted, k_sorted = bucket_ts, value, new_validity, key_cols
+
     change = np.zeros(m, dtype=bool)
     change[0] = True
     change[1:] = b_sorted[1:] != b_sorted[:-1]
@@ -100,7 +134,10 @@ def rollup_partials_table(
 
     wd = v_sorted * d_sorted
     out = {
-        **{name: pa.array(k[starts]) for name, k in zip(keys, k_sorted)},
+        **{
+            name: dic.take(pa.array(k[starts], type=pa.int64()))
+            for name, k, dic in zip(keys, k_sorted, key_dicts)
+        },
         "bucket_ts": pa.array(b_sorted[starts], type=pa.int64()),
         "count": pa.array(ends - starts, type=pa.int64()),
         "min": pa.array(np.minimum.reduceat(v_sorted, starts), type=pa.float64()),
@@ -109,6 +146,22 @@ def rollup_partials_table(
         "wsum": pa.array(np.add.reduceat(wd, starts), type=pa.float64()),
         "wdur": pa.array(np.add.reduceat(d_sorted, starts), type=pa.int64()),
     }
+    if mark_edges:
+        # A (keys, bucket) can receive contributions from another batch ONLY if it is
+        # this batch's first or last bucket of that series (requires per-series rows
+        # of a batch to be a contiguous time range, and batch ranges to be disjoint —
+        # true for shard-clustered layouts). Everything else is FINAL already.
+        g = len(starts)
+        edge = np.zeros(g, dtype=bool)
+        if g:
+            kb = [k[starts] for k in k_sorted]
+            run_change = np.ones(g, dtype=bool)
+            run_change[1:] = np.zeros(g - 1, dtype=bool)
+            for k in kb:
+                run_change[1:] |= k[1:] != k[:-1]
+            edge[np.flatnonzero(run_change)] = True  # first bucket of each series run
+            edge[np.append(np.flatnonzero(run_change)[1:] - 1, g - 1)] = True  # last
+        out["_edge"] = pa.array(edge)
     return pa.table(out)
 
 
@@ -122,25 +175,31 @@ def reaggregate_partials_table(
     aggregate vector WITHIN the batch (count/sum/wsum/wdur add; min/max fold). The
     output feeds the same groupby-of-partials as ``rollup_partials_table`` — this is
     how 1m → 1h → 1d reuse partial sums instead of re-reading raw data."""
-    arrs = table_to_arrays(t)
-    bucket_ts = origin + ((np.asarray(arrs["bucket_ts"], dtype=np.int64) - origin) // width) * width
-    key_cols = [np.asarray(arrs[k]) for k in keys]
-    order = np.lexsort((bucket_ts, *key_cols[::-1]))
-    b = bucket_ts[order]
-    k_sorted = [k[order] for k in key_cols]
-    m = len(order)
+    m = len(t)
     if m == 0:
         return t.drop_columns([c for c in ("mean",) if c in t.column_names])
+    bucket_raw = np.asarray(t.column("bucket_ts").combine_chunks().to_numpy(zero_copy_only=False))
+    bucket_ts = origin + ((bucket_raw - origin) // width) * width
+    key_codes, key_dicts = _key_codes(t, keys)
+    order = np.lexsort((bucket_ts, *key_codes[::-1]))
+    b = bucket_ts[order]
+    k_sorted = [k[order] for k in key_codes]
     change = np.zeros(m, dtype=bool)
     change[0] = True
     change[1:] = b[1:] != b[:-1]
     for k in k_sorted:
         change[1:] |= k[1:] != k[:-1]
     starts = np.flatnonzero(change)
-    red = lambda col, ufunc: ufunc.reduceat(np.asarray(arrs[col])[order], starts)
+    col_np = lambda name: np.asarray(
+        t.column(name).combine_chunks().to_numpy(zero_copy_only=False)
+    )
+    red = lambda col, ufunc: ufunc.reduceat(col_np(col)[order], starts)
     return pa.table(
         {
-            **{name: pa.array(k[starts]) for name, k in zip(keys, k_sorted)},
+            **{
+                name: dic.take(pa.array(k[starts], type=pa.int64()))
+                for name, k, dic in zip(keys, k_sorted, key_dicts)
+            },
             "bucket_ts": pa.array(b[starts], type=pa.int64()),
             "count": pa.array(red("count", np.add), type=pa.int64()),
             "min": pa.array(red("min", np.minimum), type=pa.float64()),

@@ -120,7 +120,19 @@ def op_python(py_op: Callable, arity: int = 2) -> MergeOp:
     return MergeOp("python", fn)
 
 
+def _op_plus_nary(defined, values):
+    """N-ary non-strict plus (tuple-encoded N-ary merge, TimeSeriesMerger.scala:85-130
+    with nonStrictPlus folded over the tuple)."""
+    any_def = defined[0].copy()
+    total = np.where(defined[0], values[0], 0.0)
+    for d, v in zip(defined[1:], values[1:]):
+        any_def |= d
+        total = total + np.where(d, v, 0.0)
+    return any_def, total
+
+
 OPS: dict[str, MergeOp] = {
+    "plus_nary": MergeOp("plus_nary", _op_plus_nary),
     "plus_strict": MergeOp("plus_strict", _op_plus_strict),
     "plus": MergeOp("plus", _op_plus_nonstrict),
     "multiply": MergeOp("multiply", _op_multiply_strict),

@@ -1,0 +1,43 @@
+"""Append / prepend splices — reference ``TimeSeries.scala:216-246`` +
+``immutable/TSEntry.scala:163-213``, golden behavior ``TimeSeriesTestBench.scala:511-696``.
+
+- ``append(a, b)``: everything of ``a`` defined at ``t >= b.first.timestamp`` is
+  overwritten by ``b`` (a's straddling entry is trimmed); result re-fitted through a
+  compressing builder.
+- ``prepend(a, b)``: everything of ``a`` defined at ``t < b.last.definedUntil`` is
+  overwritten by ``b``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .fit import fit_sorted
+from .trim import slice_arrays
+
+Arrays = tuple[np.ndarray, np.ndarray, np.ndarray]
+
+
+def _concat_fit(parts: list[Arrays], compress: bool = True) -> Arrays:
+    ts = np.concatenate([p[0] for p in parts])
+    val = np.concatenate([p[1] for p in parts])
+    dur = np.concatenate([p[2] for p in parts])
+    order = np.argsort(ts, kind="stable")
+    f = fit_sorted(ts[order], val[order], dur[order], None, compress=compress, validate=False)
+    return f[0], f[1], f[2]
+
+
+def append_series(a: Arrays, b: Arrays, compress: bool = True) -> Arrays:
+    if len(b[0]) == 0:
+        return a
+    cut = int(b[0][0])
+    a_ts, a_dur, keep = slice_arrays(a[0], a[2], t_to=cut)
+    return _concat_fit([(a_ts, a[1][keep], a_dur), b], compress)
+
+
+def prepend_series(a: Arrays, b: Arrays, compress: bool = True) -> Arrays:
+    if len(b[0]) == 0:
+        return a
+    cut = int(b[0][-1] + b[2][-1])
+    a_ts, a_dur, keep = slice_arrays(a[0], a[2], t_from=cut)
+    return _concat_fit([b, (a_ts, a[1][keep], a_dur)], compress)

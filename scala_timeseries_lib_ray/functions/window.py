@@ -128,6 +128,17 @@ def sliding_window_events(
         pref = np.concatenate([[0.0], np.cumsum(value * validity * fac)])
         out = pref[hi] - pref[lo]
         defined = np.ones(len(t_left), dtype=bool)
+    elif callable(agg):
+        # QueueAggregator escape hatch (window/BasicAggregators.scala:127-136 /
+        # Aggregator.queueAggregator): arbitrary fn over the whole window content,
+        # called once per event interval with the member slices. O(events * window).
+        out = np.zeros(len(t_left), dtype=np.float64)
+        defined = np.zeros(len(t_left), dtype=bool)
+        for j in range(len(t_left)):
+            r = agg(value[lo[j] : hi[j]], validity[lo[j] : hi[j]])
+            if r is not None:
+                out[j] = r
+                defined[j] = True
     else:
         raise ValueError(f"unknown aggregator {agg!r}")
 

@@ -40,15 +40,18 @@ def cascade(
     points = derive_points(tokens)
     fit = fit_shards if fit_mode == "shards" else fit_blocks
     fitted = fit(points, compress=compress, block_width=fit_block_width)
-    tier_1m = rollup_tier(fitted, MS_1M)
+    tier_1m = rollup_tier(fitted, MS_1M, combine="edges")
     tier_1h = reaggregate_tier(tier_1m, MS_1H)
     tier_1d = reaggregate_tier(tier_1h, MS_1D)
     return {"points": fitted, "tier_1m": tier_1m, "tier_1h": tier_1h, "tier_1d": tier_1d}
 
 
-def cascade_from_points(points: ray.data.Dataset) -> dict[str, ray.data.Dataset]:
-    """Same cascade for an already-derived points dataset (events-based pipelines)."""
-    tier_1m = rollup_tier(points, MS_1M)
+def cascade_from_points(
+    points: ray.data.Dataset, combine: str = "edges"
+) -> dict[str, ray.data.Dataset]:
+    """Same cascade for an already-derived points dataset (events-based pipelines).
+    ``combine='edges'`` assumes time-clustered batches (see rollup_tier)."""
+    tier_1m = rollup_tier(points, MS_1M, combine=combine)
     tier_1h = reaggregate_tier(tier_1m, MS_1H)
     tier_1d = reaggregate_tier(tier_1h, MS_1D)
     return {"tier_1m": tier_1m, "tier_1h": tier_1h, "tier_1d": tier_1d}

@@ -65,6 +65,38 @@ def _combine_partials(
     return out.map_batches(finalize_tier_table, batch_format="pyarrow")
 
 
+def _combine_edges(partials_tagged: ray.data.Dataset, keys: tuple[str, ...]) -> ray.data.Dataset:
+    """Interior/edge combine (the 10^12-scale path): partial rows whose bucket is
+    strictly inside their batch's per-series time range are FINAL tier rows and stay
+    fully distributed; only the per-series first/last-bucket rows of each batch
+    (O(#series × #shards), tiny) can collide across shards and go through one small
+    combine task. No all-to-all anywhere, serial work is O(edges).
+
+    Precondition (documented on ``rollup_partials_table(mark_edges=True)``): each
+    batch's rows per series form a contiguous time range and batch ranges don't
+    overlap except at their ends — true for shard-clustered inputs (the token table
+    layout) and for whole-series-per-batch groups."""
+    import pyarrow.compute as pc
+
+    tagged = partials_tagged.materialize()  # tier-sized (aggregates only)
+    interior = tagged.map_batches(
+        lambda t: t.filter(pc.invert(t.column("_edge"))).drop_columns(["_edge"]),
+        batch_format="pyarrow",
+    )
+    edges = tagged.map_batches(
+        lambda t: t.filter(t.column("_edge")).drop_columns(["_edge"]),
+        batch_format="pyarrow",
+    )
+    edges_combined = edges.repartition(1).map_batches(
+        lambda t: reaggregate_partials_table(t, 1, 0, keys),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+    return interior.union(edges_combined).map_batches(
+        finalize_tier_table, batch_format="pyarrow"
+    )
+
+
 def rollup_tier(
     points: ray.data.Dataset,
     width: int,
@@ -72,10 +104,15 @@ def rollup_tier(
     keys: tuple[str, ...] = ("source",),
     combine: str = "tree",
 ) -> ray.data.Dataset:
-    """raw points -> tier table at bucket ``width`` (ms)."""
+    """raw points -> tier table at bucket ``width`` (ms). ``combine``:
+    'edges' (no-shuffle interior/edge split — requires time-clustered batches),
+    'tree' (map-only tree reduction — any layout), 'groupby' (Ray groupby)."""
     partials = points.map_batches(
-        lambda t: rollup_partials_table(t, width, origin, keys), batch_format="pyarrow"
+        lambda t: rollup_partials_table(t, width, origin, keys, mark_edges=(combine == "edges")),
+        batch_format="pyarrow",
     )
+    if combine == "edges":
+        return _combine_edges(partials, keys)
     return _combine_partials(partials, keys, combine)
 
 
