@@ -29,11 +29,38 @@ from ..functions.fit import fit_table
 DEFAULT_BLOCK_WIDTH = 3_600_000  # 1h blocks
 
 
+def _sorted_by(t: pa.Table, keys: tuple[str, ...]) -> bool:
+    """O(n) probe: rows sorted by (keys..., ts)? String keys only need adjacent
+    equality plus int-key monotonicity, so check via dictionary codes."""
+    import pyarrow.compute as pc
+
+    arrs = []
+    for k in list(keys) + ["ts"]:
+        col = t.column(k)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            col = pc.dictionary_encode(col).indices
+        arrs.append(np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.int64))
+    n = len(t)
+    if n <= 1:
+        return True
+    ok = np.ones(n - 1, dtype=bool)
+    tie = np.ones(n - 1, dtype=bool)
+    for a in arrs:
+        d = a[1:] - a[:-1]
+        ok &= np.where(tie, d >= 0, True)
+        tie = tie & (d == 0)
+    return bool(ok.all())
+
+
 def _sort_block_fit(t: pa.Table, keys: tuple[str, ...], compress: bool) -> pa.Table:
-    order = pa.compute.sort_indices(
-        t, sort_keys=[(k, "ascending") for k in keys] + [("ts", "ascending")]
-    )
-    return fit_table(t.take(order), keys=keys, compress=compress)
+    if not _sorted_by(t, keys):
+        order = pa.compute.sort_indices(
+            t, sort_keys=[(k, "ascending") for k in keys] + [("ts", "ascending")]
+        )
+        t = t.take(order)
+    return fit_table(t, keys=keys, compress=compress)
 
 
 def fit_per_series(
