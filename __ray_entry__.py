@@ -626,6 +626,33 @@ def q_ann_topk(sf_dir: str):
     return ann_topk(_emb_ds(sf_dir), n_queries=8, k=5)
 
 
+def q_ann_topk_lsh(sf_dir: str):
+    # approximate by construction -> rows-only; recall pinned by pytest
+    from scala_timeseries_lib_ray.pipelines.dataprep import ann_topk_lsh
+
+    return ann_topk_lsh(_emb_ds(sf_dir), n_queries=8, k=5)
+
+
+def q_ev_sliding_max_halo(sf_dir: str):
+    """Chunk+halo sliding max (the long-series scale path); canonicalized with a
+    final fit so it matches the whole-series oracle exactly."""
+    from scala_timeseries_lib_ray.functions.fit import fit_table
+    from scala_timeseries_lib_ray.stages.windowstage import sliding_window_halo
+
+    out = sliding_window_halo(
+        _ev_points_ds(sf_dir), width=3_600_000, agg="max",
+        chunk_width=86_400_000, max_validity=600_000,
+    )
+
+    def canon(t: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(
+            t, sort_keys=[("source", "ascending"), ("ts", "ascending")]
+        )
+        return fit_table(t.take(order), keys=("source",), validate=False)
+
+    return out.groupby("source").map_groups(canon, batch_format="pyarrow")
+
+
 def q_embedding_centroids(sf_dir: str):
     from scala_timeseries_lib_ray.pipelines.dataprep import embedding_centroids
 
@@ -1045,6 +1072,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "ev_sliding_max_halo": q_ev_sliding_max_halo,
         "embedding_centroids": q_embedding_centroids,
         "media_features": q_media_features,
         "gorilla_roundtrip": q_gorilla_roundtrip,
@@ -1093,6 +1122,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_sliding_integral": SQL_EV_SLIDING_INTEGRAL,
         "ev_sliding_min": _sql_ev_sliding_minmax("MIN"),
         "ev_sliding_max": _sql_ev_sliding_minmax("MAX"),
+        "ev_sliding_max_halo": _sql_ev_sliding_minmax("MAX"),
         "ev_sessions": SQL_EV_SESSIONS,
         "ev_tier_1m": _sql_ev_tier(60000),
         "text_stats": SQL_TEXT_STATS,

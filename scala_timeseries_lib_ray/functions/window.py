@@ -73,9 +73,15 @@ def sliding_window_events(
     agg: str,
     time_unit: str = "ms",
     compress: bool = True,
+    horizon: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Event sweep over ONE fitted series (already sampled for time-aware aggs).
-    Returns the compressed output series (ts, value, validity)."""
+    Returns the compressed output series (ts, value, validity).
+
+    ``horizon`` overrides the sweep's stop time (default: the last entry's
+    definedUntil, the reference's termination). A larger horizon keeps emitting
+    intervals (empty-window / residual-member values) up to it — used by the
+    chunk+halo distributed layout where the series continues in the next chunk."""
     if width <= 0:
         raise ValueError("Needs a strictly positive window size")
     n = len(ts)
@@ -87,7 +93,7 @@ def sliding_window_events(
     validity = np.asarray(validity, dtype=np.int64)
     end = ts + validity
     rem_t = end + width  # removal event of entry i (sorted: ends increase)
-    last_end = end[-1]
+    last_end = int(end[-1]) if horizon is None else int(horizon)
 
     events = np.unique(np.concatenate([ts, rem_t, [last_end]]))
     events = events[(events >= ts[0]) & (events <= last_end)]

@@ -393,6 +393,103 @@ def ann_topk(
     return partials.repartition(1).map_batches(final, batch_size=None, batch_format="pyarrow")
 
 
+def ann_topk_lsh(
+    embeddings: ray.data.Dataset,
+    n_queries: int = 8,
+    k: int = 5,
+    n_planes: int = 8,
+    max_probe_hamming: int = 3,
+) -> ray.data.Dataset:
+    """LSH-bucketed ANN — the scale path next to the brute-force baseline.
+
+    Seeded random hyperplanes give every vector a sign-bit bucket id; a query only
+    scores vectors whose bucket is within ``max_probe_hamming`` bits of its own
+    (multi-probe). The probe mask is applied INSIDE each batch against the
+    broadcast query buckets — candidate pruning with no shuffle; per-batch partial
+    top-k rows (≤ queries × k per batch) reduce at the root as in ``ann_topk``.
+    Approximate by construction; recall is tested against the brute-force baseline."""
+    import ray as _ray
+
+    rng = np.random.default_rng(20240817)
+    q_rows = embeddings.filter(lambda r: r["vec_id"] < n_queries).take_all()
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    dim = Q.shape[1]
+    planes = rng.normal(size=(dim, n_planes))
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+    q_buckets = ((Qn @ planes) > 0).astype(np.uint64) @ (
+        np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
+    )
+    ref = _ray.put((q_ids, Qn, q_buckets, planes))
+
+    def partial(t: pa.Table) -> pa.Table:
+        qi, Qm, qb, P = _ray.get(ref)
+        ids, X = _emb_matrix(t)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        xb = ((Xn @ P) > 0).astype(np.uint64) @ (
+            np.uint64(1) << np.arange(P.shape[1], dtype=np.uint64)
+        )
+        rows = {"query_id": [], "neighbor_id": [], "score": []}
+        for qrow, qid in enumerate(qi):
+            ham = np.bitwise_count((xb ^ qb[qrow]).astype(np.uint64)) if hasattr(
+                np, "bitwise_count"
+            ) else np.array([bin(int(x)).count("1") for x in (xb ^ qb[qrow])])
+            cand = np.flatnonzero(ham <= max_probe_hamming)
+            if len(cand) == 0:
+                continue
+            S = Qm[qrow] @ Xn[cand].T
+            kk = min(k + 1, len(cand))
+            top = np.argpartition(-S, kk - 1)[:kk]
+            rows["query_id"].append(np.full(len(top), qid, dtype=np.int64))
+            rows["neighbor_id"].append(ids[cand][top])
+            rows["score"].append(S[top])
+        if not rows["query_id"]:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(rows["query_id"])),
+                "neighbor_id": pa.array(np.concatenate(rows["neighbor_id"])),
+                "score": pa.array(np.concatenate(rows["score"]), pa.float64()),
+            }
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        q = np.asarray(t.column("query_id").to_numpy(zero_copy_only=False))
+        nb = np.asarray(t.column("neighbor_id").to_numpy(zero_copy_only=False))
+        sc = np.asarray(t.column("score").to_numpy(zero_copy_only=False))
+        out = {"query_id": [], "neighbor_id": [], "rank": []}
+        for qid in np.unique(q):
+            m = (q == qid) & (nb != qid)
+            order = np.lexsort((nb[m], -sc[m]))[:k]
+            out["query_id"].append(np.full(len(order), qid, dtype=np.int64))
+            out["neighbor_id"].append(nb[m][order])
+            out["rank"].append(np.arange(1, len(order) + 1, dtype=np.int64))
+        if not out["query_id"]:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out["query_id"])),
+                "neighbor_id": pa.array(np.concatenate(out["neighbor_id"])),
+                "rank": pa.array(np.concatenate(out["rank"])),
+            }
+        )
+
+    partials = embeddings.map_batches(partial, batch_format="pyarrow")
+    return partials.repartition(1).map_batches(final, batch_size=None, batch_format="pyarrow")
+
+
 def embedding_centroids(embeddings: ray.data.Dataset, round_to: int = 4) -> ray.data.Dataset:
     """Per-label, per-dimension centroid: partial (label, dim-sums, count) per batch,
     map-only tree combine, finalize mean (long format: label, pos, centroid)."""

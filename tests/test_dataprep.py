@@ -149,3 +149,30 @@ def test_text_kernels_deterministic():
     assert lang["lang_pred"] == ["en", "de"]
     fp = fingerprint_batch(t).to_pydict()
     assert fp["md5"][0] != fp["md5"][1] and len(fp["md5"][0]) == 32
+
+
+def test_ann_lsh_recall(ray_session):
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.dataprep import ann_topk, ann_topk_lsh
+
+    rng = np.random.default_rng(23)
+    X = rng.normal(size=(400, 32))
+    X[77] = X[1]  # exact duplicate of query 1 -> same bucket, must be rank 1
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(400), pa.int64()),
+            "embedding": pa.array([r for r in X.astype(np.float32)], pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(400, dtype=np.int32)),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    exact = ann_topk(ds, n_queries=4, k=5).to_pandas()
+    approx = ann_topk_lsh(ds, n_queries=4, k=5).to_pandas()
+    dup = approx[(approx["query_id"] == 1) & (approx["rank"] == 1)]
+    assert dup.iloc[0]["neighbor_id"] == 77
+    # recall vs brute force (approximate by construction; just require signal)
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"LSH recall too low: {recall}"
