@@ -23,6 +23,68 @@ import numpy as np
 from .fit import fit_sorted
 
 
+def _sample_closest_ranges(
+    ts: np.ndarray, end: np.ndarray, last_end: int, start: int, rate: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Closest-mode sampling in O(n) cursor steps (independent of grid length).
+
+    The 5-case recursion (``TimeSeries.scala:608-643``) collapses per cursor entry c
+    to a contiguous range of grid points it serves:
+
+      drop(c) at grid point p  ⟺  p >= D(c) := max(mid(c), min(end[c], ts[c+1]-W))
+      where mid(c) = ceil((ts[c]+ts[c+1])/2)   (tie goes to the later entry)
+      emit c for p in [max(cursor_p, ts[c]-W) aligned-up, D(c))   (last entry:
+      [.., end[c]) then stop)
+
+    Each loop iteration either drops the cursor once or finishes a serve range, so
+    iterations <= 2n; emitted grid points are materialized vectorized per range."""
+    n = len(ts)
+    W = rate // 2  # Scala integer division (rate/2)
+    seg_ts: list[np.ndarray] = []
+    seg_idx: list[int] = []
+    seg_cnt: list[int] = []
+
+    def align_up(x: int, p: int) -> int:
+        """first grid point >= max(x, p)"""
+        x = max(x, p)
+        k = (x - start + rate - 1) // rate
+        return start + max(k, 0) * rate
+
+    p = align_up(start, start)
+    c = 0
+    while p < last_end:
+        tc = int(ts[c])
+        if c == n - 1:
+            hi = min(int(end[c]), last_end)
+            lo = align_up(tc - W, p)
+            if lo < hi:
+                pts = np.arange(lo, hi, rate, dtype=np.int64)
+                seg_ts.append(pts)
+                seg_idx.append(c)
+                seg_cnt.append(len(pts))
+            break
+        tn = int(ts[c + 1])
+        mid = -((-(tc + tn)) // 2)  # ceil
+        D = max(mid, min(int(end[c]), tn - W))
+        lo = align_up(tc - W, p)
+        if lo < D:
+            hi = min(D, last_end)
+            if lo < hi:
+                pts = np.arange(lo, hi, rate, dtype=np.int64)
+                seg_ts.append(pts)
+                seg_idx.append(c)
+                seg_cnt.append(len(pts))
+            p = align_up(hi, hi)  # first grid point >= hi (the drop point)
+        # cursor drops at the current p (either no serve range, or range exhausted)
+        c += 1
+    if not seg_ts:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    return (
+        np.concatenate(seg_ts),
+        np.repeat(np.array(seg_idx, dtype=np.int64), np.array(seg_cnt, dtype=np.int64)),
+    )
+
+
 def sample_series(
     ts: np.ndarray,
     value: np.ndarray,
@@ -57,35 +119,8 @@ def sample_series(
         out_ts = grid[defined]
         out_val = value[ic[defined]]
     else:
-        W = rate // 2  # Scala integer division (rate/2)
-        out_ts_l: list[int] = []
-        out_idx: list[int] = []
-        p = start
-        c = 0
-        while p < last_end:
-            tc = int(ts[c])
-            if tc > p + W:
-                # entry too far in the future: advance the sample point
-                k = (tc - W - p + rate - 1) // rate
-                p += max(k, 1) * rate
-                continue
-            if c == n - 1:
-                if p < end[c]:
-                    out_ts_l.append(p)
-                    out_idx.append(c)
-                    p += rate
-                else:
-                    break
-                continue
-            tn = int(ts[c + 1])
-            if (p < end[c] and tn > p + W) or abs(tc - p) < abs(tn - p):
-                out_ts_l.append(p)
-                out_idx.append(c)
-                p += rate
-            else:
-                c += 1
-        out_ts = np.array(out_ts_l, dtype=np.int64)
-        out_val = value[np.array(out_idx, dtype=np.int64)] if out_idx else value[:0]
+        out_ts, out_idx = _sample_closest_ranges(ts, end, int(last_end), start, rate)
+        out_val = value[out_idx] if len(out_idx) else value[:0]
 
     out_validity = np.full(len(out_ts), rate, dtype=np.int64)
     if compress and len(out_ts):

@@ -125,3 +125,44 @@ def test_gorilla_roundtrip_random(s):
         np.asarray(r_v).view(np.uint64), np.asarray(v, dtype=np.float64).view(np.uint64)
     )
     assert np.array_equal(r_d, d)
+
+
+def _sample_closest_reference(ts, value, validity, start, rate):
+    """Direct transcription of the reference 5-case recursion (TimeSeries.scala:608-643)."""
+    n = len(ts)
+    end = ts + validity
+    last_end = int(end[-1])
+    W = rate // 2
+    out_ts, out_idx = [], []
+    p, c = start, 0
+    while p < last_end:
+        tc = int(ts[c])
+        if tc > p + W:
+            k = (tc - W - p + rate - 1) // rate
+            p += max(k, 1) * rate
+            continue
+        if c == n - 1:
+            if p < end[c]:
+                out_ts.append(p); out_idx.append(c); p += rate
+            else:
+                break
+            continue
+        tn = int(ts[c + 1])
+        if (p < end[c] and tn > p + W) or abs(tc - p) < abs(tn - p):
+            out_ts.append(p); out_idx.append(c); p += rate
+        else:
+            c += 1
+    return np.array(out_ts, dtype=np.int64), np.array(out_idx, dtype=np.int64)
+
+
+@settings(max_examples=300, deadline=None)
+@given(series(values=st.floats(-100, 100, allow_nan=False)), st.integers(1, 30),
+       st.integers(-10, 10))
+def test_sample_closest_vectorized_equals_reference_recursion(s, rate, start_off):
+    ts, v, d = fitted(s)
+    start = int(ts[0]) + start_off
+    got_ts, got_v, got_d = sample_series(ts, v, d, start, rate, use_closest=True)
+    ref_ts, ref_idx = _sample_closest_reference(ts, v, d, start, rate)
+    assert np.array_equal(got_ts, ref_ts)
+    assert np.array_equal(got_v, v[ref_idx] if len(ref_idx) else v[:0])
+    assert (got_d == rate).all()
