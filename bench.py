@@ -26,6 +26,9 @@ import time
 # Keep glibc from returning big buffers to the OS so steady-state allocations reuse
 # already-faulted pages, and avoid THP defrag stalls. Must be set before workers
 # spawn; harmless elsewhere.
+# keep Ray from reaping idle workers: respawned workers re-fault their whole
+# heap through the slow path, destroying the warm-run benefit
+os.environ.setdefault("RAY_kill_idle_workers_interval_ms", "0")
 os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
 # trim must be effectively never: each task churns >1GiB of heap, and any trim
 # means re-faulting through the VM's serialized fault path on the next task
