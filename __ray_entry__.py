@@ -1006,6 +1006,35 @@ def q_tokens_invariant(sf_dir: str):
     return pd.DataFrame([res])
 
 
+SQL_EV_PROPS = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       event_type AS source
+FROM events
+"""
+
+
+def q_ev_props_extract(sf_dir: str):
+    """Typed-metadata extraction from the JSON props payload column (vectorized
+    per-batch json parse)."""
+    import json as _json
+
+    import ray.data
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props", "event_type"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        ks = [int(_json.loads(s_)["k"]) for s_ in t.column("props").to_pylist()]
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "k": pa.array(ks, pa.int64()),
+                "source": t.column("event_type"),
+            }
+        )
+
+    return ev.map_batches(extract, batch_format="pyarrow")
+
+
 def q_gorilla_roundtrip(sf_dir: str):
     """Compress the derived doc points into Gorilla blocks and decompress them:
     the result must be the identity — the oracle is the points SQL itself."""
@@ -1074,6 +1103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ev_sliding_max_halo": q_ev_sliding_max_halo,
+        "ev_props_extract": q_ev_props_extract,
         "embedding_centroids": q_embedding_centroids,
         "media_features": q_media_features,
         "gorilla_roundtrip": q_gorilla_roundtrip,
@@ -1123,6 +1153,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_sliding_min": _sql_ev_sliding_minmax("MIN"),
         "ev_sliding_max": _sql_ev_sliding_minmax("MAX"),
         "ev_sliding_max_halo": _sql_ev_sliding_minmax("MAX"),
+        "ev_props_extract": SQL_EV_PROPS,
         "ev_sessions": SQL_EV_SESSIONS,
         "ev_tier_1m": _sql_ev_tier(60000),
         "text_stats": SQL_TEXT_STATS,

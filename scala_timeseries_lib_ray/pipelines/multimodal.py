@@ -126,6 +126,35 @@ class MediaResizeActor:
         )
 
 
+class FrameSampleActor:
+    """Actor-pool frame sampler for 'video' payloads: emits every k-th fake frame
+    as its own media row (flat-map shape: one input row -> n output rows). The
+    frame decode sits behind the same stub seam as images."""
+
+    def __init__(self, every_k: int = 4, n_frames: int = 16):
+        self.every_k = every_k
+        self.n_frames = n_frames
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, frames, payloads = [], [], []
+        for mid, payload in zip(
+            t.column("media_id").to_pylist(), t.column("payload").to_pylist()
+        ):
+            _decode_image_bytes(payload)  # validates the container
+            for f in range(0, self.n_frames, self.every_k):
+                ids.append(mid)
+                frames.append(f)
+                # deterministic per-frame payload derived from the container
+                payloads.append(payload + f.to_bytes(2, "big"))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame": pa.array(frames, pa.int32()),
+                "payload": pa.array(payloads, pa.large_binary()),
+            }
+        )
+
+
 def media_features(media: ray.data.Dataset, concurrency: int = 4, batch_size: int = 64) -> ray.data.Dataset:
     return media.map_batches(
         MediaFeatureActor,

@@ -176,3 +176,19 @@ def test_ann_lsh_recall(ray_session):
     a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
     recall = len(e & a) / len(e)
     assert recall >= 0.3, f"LSH recall too low: {recall}"
+
+
+def test_frame_sample_stage(ray_session):
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.multimodal import FrameSampleActor, synth_media_batch
+
+    ds = ray.data.from_arrow(synth_media_batch(np.arange(10, dtype=np.int64), kind="video"))
+    out = ds.map_batches(
+        FrameSampleActor, batch_format="pyarrow", batch_size=4, concurrency=2
+    ).to_pandas()
+    assert len(out) == 10 * 4  # every 4th of 16 frames
+    assert sorted(out["frame"].unique()) == [0, 4, 8, 12]
+    # frame payloads are distinct and deterministic
+    sub = out[out["media_id"] == 3].sort_values("frame")
+    assert len({bytes(p) for p in sub["payload"]}) == 4
