@@ -172,7 +172,7 @@ def main() -> None:
         sf = sf_of(SF_DIR)
         scale_docs = int(os.environ.get("RAY_TS_SCALING_DOCS", "96000000"))
         lo_n, hi_n = (
-            int(x) for x in os.environ.get("RAY_TS_SCALE_LEVELS", "8,32").split(",")
+            int(x) for x in os.environ.get("RAY_TS_SCALE_LEVELS", "2,8").split(",")
         )
         results = {}
         for ncpu in (lo_n, hi_n):
