@@ -1006,6 +1006,77 @@ def q_tokens_invariant(sf_dir: str):
     return pd.DataFrame([res])
 
 
+SQL_DOC_MAP_ENTRIES = f"""
+WITH pts AS ({SQL_DOC_POINTS})
+SELECT source, ts, value * validity AS value, validity FROM pts
+"""
+
+SQL_DOC_FILTER_ENTRIES = f"""
+WITH pts AS ({SQL_DOC_POINTS})
+SELECT source, ts, value, validity FROM pts WHERE validity = 4000
+"""
+
+SQL_DOC_HEADS = f"""
+WITH pts AS ({SQL_DOC_POINTS})
+SELECT source,
+       MIN(ts) AS head_ts, arg_min(value, ts) AS head_value,
+       arg_max(ts, ts) AS last_ts, arg_max(value, ts) AS last_value,
+       arg_max(validity, ts) AS last_validity
+FROM pts GROUP BY source
+"""
+
+
+def q_doc_map_entries(sf_dir: str):
+    """mapEntries: the mapping function sees (ts, value, validity) — here
+    value' = value * validity (reference TimeSeries.scala:112-119)."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        v = pa.compute.multiply(
+            t.column("value"), pa.compute.cast(t.column("validity"), pa.float64())
+        )
+        return t.set_column(t.schema.get_field_index("value"), "value", v)
+
+    return _doc_points_ds(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
+def q_doc_filter_entries(sf_dir: str):
+    """filterEntries: predicate over the whole entry (validity == cap)."""
+    return _doc_points_ds(sf_dir).map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("validity"), 4000)),
+        batch_format="pyarrow",
+    )
+
+
+def q_doc_heads(sf_dir: str):
+    """head/last accessors per series (reference TimeSeries.scala:163-214)."""
+
+    def per_series(t: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(
+            t, sort_keys=[("source", "ascending"), ("ts", "ascending")]
+        )
+        t = t.take(order)
+        src = np.asarray(t.column("source").to_numpy(zero_copy_only=False))
+        ts = np.asarray(t.column("ts").to_numpy(zero_copy_only=False))
+        val = np.asarray(t.column("value").to_numpy(zero_copy_only=False))
+        dur = np.asarray(t.column("validity").to_numpy(zero_copy_only=False))
+        b = np.flatnonzero(np.concatenate([[True], src[1:] != src[:-1]]))
+        e = np.append(b[1:], len(src)) - 1
+        return pa.table(
+            {
+                "source": pa.array(src[b]),
+                "head_ts": pa.array(ts[b], pa.int64()),
+                "head_value": pa.array(val[b], pa.float64()),
+                "last_ts": pa.array(ts[e], pa.int64()),
+                "last_value": pa.array(val[e], pa.float64()),
+                "last_validity": pa.array(dur[e], pa.int64()),
+            }
+        )
+
+    return _doc_points_ds(sf_dir).groupby("source").map_groups(
+        per_series, batch_format="pyarrow"
+    )
+
+
 SQL_EV_PROPS = """
 SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
        event_type AS source
@@ -1104,6 +1175,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "ev_sliding_max_halo": q_ev_sliding_max_halo,
         "ev_props_extract": q_ev_props_extract,
+        "doc_map_entries": q_doc_map_entries,
+        "doc_filter_entries": q_doc_filter_entries,
+        "doc_heads": q_doc_heads,
         "embedding_centroids": q_embedding_centroids,
         "media_features": q_media_features,
         "gorilla_roundtrip": q_gorilla_roundtrip,
@@ -1154,6 +1228,9 @@ def oracle_sql() -> dict[str, str]:
         "ev_sliding_max": _sql_ev_sliding_minmax("MAX"),
         "ev_sliding_max_halo": _sql_ev_sliding_minmax("MAX"),
         "ev_props_extract": SQL_EV_PROPS,
+        "doc_map_entries": SQL_DOC_MAP_ENTRIES,
+        "doc_filter_entries": SQL_DOC_FILTER_ENTRIES,
+        "doc_heads": SQL_DOC_HEADS,
         "ev_sessions": SQL_EV_SESSIONS,
         "ev_tier_1m": _sql_ev_tier(60000),
         "text_stats": SQL_TEXT_STATS,
