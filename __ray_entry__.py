@@ -1006,6 +1006,34 @@ def q_tokens_invariant(sf_dir: str):
     return pd.DataFrame([res])
 
 
+SQL_DOC_SLICE_DISCRETE = f"""
+WITH pts AS ({SQL_DOC_POINTS})
+SELECT source, ts, value, validity FROM pts
+WHERE ts >= {SLICE_FROM} AND ts + validity <= {SLICE_TO}
+"""
+
+
+def q_doc_slice_discrete(sf_dir: str):
+    """Discrete slice: straddling entries dropped whole (trimLeftDiscrete /
+    trimRightDiscrete with includeEntry=False, TimeSeries.scala:59-74)."""
+    from scala_timeseries_lib_ray.functions.trim import slice_table
+
+    return _doc_points_ds(sf_dir).map_batches(
+        lambda t: slice_table(
+            t, SLICE_FROM, SLICE_TO, discrete=True, include_left=False, include_right=False
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_dedup_ngram(sf_dir: str):
+    """n-gram Jaccard near-dup pairs over the planted corpus, verified pairwise
+    within LSH candidate buckets (rows-only: custom hashing)."""
+    from scala_timeseries_lib_ray.pipelines.dataprep import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_mutated_docs(sf_dir), threshold=0.7)
+
+
 SQL_DOC_MAP_ENTRIES = f"""
 WITH pts AS ({SQL_DOC_POINTS})
 SELECT source, ts, value * validity AS value, validity FROM pts
@@ -1178,6 +1206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_map_entries": q_doc_map_entries,
         "doc_filter_entries": q_doc_filter_entries,
         "doc_heads": q_doc_heads,
+        "doc_slice_discrete": q_doc_slice_discrete,
+        "dedup_ngram": q_dedup_ngram,
         "embedding_centroids": q_embedding_centroids,
         "media_features": q_media_features,
         "gorilla_roundtrip": q_gorilla_roundtrip,
@@ -1231,6 +1261,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_map_entries": SQL_DOC_MAP_ENTRIES,
         "doc_filter_entries": SQL_DOC_FILTER_ENTRIES,
         "doc_heads": SQL_DOC_HEADS,
+        "doc_slice_discrete": SQL_DOC_SLICE_DISCRETE,
         "ev_sessions": SQL_EV_SESSIONS,
         "ev_tier_1m": _sql_ev_tier(60000),
         "text_stats": SQL_TEXT_STATS,
