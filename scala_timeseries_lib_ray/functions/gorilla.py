@@ -168,22 +168,32 @@ def compress_payloads(ts: np.ndarray, payload: np.ndarray, block_ts: int | None 
 
 
 class _BitReader:
-    __slots__ = ("data", "pos")
+    """Buffered MSB-first bit reader: refills a python-int window 32 bytes at a
+    time so each field read is shift+mask instead of a bytes slice + from_bytes."""
+
+    __slots__ = ("data", "nbits_total", "buf", "buf_bits", "byte_pos")
 
     def __init__(self, data: bytes):
         self.data = data
-        self.pos = 0
+        self.nbits_total = len(data) * 8
+        self.buf = 0
+        self.buf_bits = 0
+        self.byte_pos = 0
 
     def read(self, nbits: int) -> int:
-        p, n = self.pos, nbits
-        end = p + n
-        if end > len(self.data) * 8:
-            raise ValueError("The passed byte array is not a valid compressed timeseries.")
-        b0, b1 = p // 8, (end + 7) // 8
-        chunk = int.from_bytes(self.data[b0:b1], "big")
-        chunk >>= (b1 * 8) - end
-        self.pos = end
-        return chunk & ((1 << n) - 1)
+        while self.buf_bits < nbits:
+            chunk = self.data[self.byte_pos : self.byte_pos + 32]
+            if not chunk:
+                raise ValueError(
+                    "The passed byte array is not a valid compressed timeseries."
+                )
+            self.byte_pos += len(chunk)
+            self.buf = (self.buf << (len(chunk) * 8)) | int.from_bytes(chunk, "big")
+            self.buf_bits += len(chunk) * 8
+        self.buf_bits -= nbits
+        out = self.buf >> self.buf_bits
+        self.buf &= (1 << self.buf_bits) - 1
+        return out
 
 
 def decompress_payloads(data: bytes) -> tuple[np.ndarray, np.ndarray]:
