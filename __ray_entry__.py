@@ -362,6 +362,22 @@ def q_doc_fit_compress(sf_dir: str):
     return fit_per_series(pts)
 
 
+def q_doc_fit_canonical(sf_dir: str):
+    """Distributed shard-local fit + canonical edge refit — must equal the GLOBAL
+    per-series fit (same SQL oracle as doc_fit_compress)."""
+    from scala_timeseries_lib_ray.stages.canonical import refit_canonical
+    from scala_timeseries_lib_ray.stages.fitstage import fit_shards
+
+    def quantize(t: pa.Table) -> pa.Table:
+        v = np.floor(np.asarray(t.column("value").to_numpy(zero_copy_only=False)) / 256.0)
+        return t.set_column(
+            t.schema.get_field_index("value"), "value", pa.array(v, pa.float64())
+        )
+
+    pts = _doc_points_ds(sf_dir).map_batches(quantize, batch_format="pyarrow")
+    return refit_canonical(fit_shards(pts, block_width=60_000))
+
+
 def q_doc_gapfill_1m_lkv(sf_dir: str):
     from scala_timeseries_lib_ray.pipelines.cascade import MS_1M, gapfill_tier_lkv
 
@@ -1178,6 +1194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tier_1h": q_doc_tier_1h,
         "doc_tier_1d": q_doc_tier_1d,
         "doc_fit_compress": q_doc_fit_compress,
+        "doc_fit_canonical": q_doc_fit_canonical,
         "doc_gapfill_1m_lkv": q_doc_gapfill_1m_lkv,
         "doc_domain": q_doc_domain,
         "ev_points": q_ev_points,
@@ -1234,6 +1251,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_tier_1h": _sql_tier(3600000),
         "doc_tier_1d": _sql_tier(86400000),
         "doc_fit_compress": SQL_DOC_FIT,
+        "doc_fit_canonical": SQL_DOC_FIT,
         "doc_gapfill_1m_lkv": SQL_DOC_GAPFILL,
         "doc_domain": SQL_DOC_DOMAIN,
         "ev_points": _sql_ev_points("raw"),

@@ -1,0 +1,78 @@
+"""Canonical re-fit: erase the shard-local-compression divergence.
+
+Shard/block-local stages (``fit_shards``, ``merge_pair_blocks``,
+``sliding_window_halo``) may leave an equal-value run split at a shard or block
+edge. Canonical global compression is restored with O(batch-edges) serial work:
+
+1. pass 1 — batch-local fit (merges/trims everything inside each batch);
+2. pass 2 — the FIRST and LAST row of each series in each batch (the only rows that
+   can interact across batches) go through one small global fit; interior rows are
+   final and stay distributed.
+
+Fitting the collected edge set as one sorted sequence is safe: the fitter only
+merges/trims rows whose domains actually meet, and rows that meet across batches
+are exactly (last of batch k, first of batch k+1) — both edges by construction;
+edge rows with interior rows between them have a time gap and pass through
+untouched.
+
+Result: ``refit_canonical(fit_shards(ds))`` ≡ ``fit_per_series(ds)`` exactly
+(block splitting is also undone: the halves of a split entry are contiguous and
+equal-valued, so the fitter re-merges them).
+
+Contract: input batches must already be non-overlapping ACROSS batches beyond the
+adjacent boundary rows (true for every shard-local stage output here). Arbitrary
+raw overlapping input needs ``fit_per_series`` / ``fit_blocks`` instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions.fit import fit_table
+
+POINT_COLS = ["source", "ts", "value", "validity"]
+
+
+def _sorted_points(t: pa.Table) -> pa.Table:
+    t = t.select(POINT_COLS)
+    order = pa.compute.sort_indices(
+        t, sort_keys=[("source", "ascending"), ("ts", "ascending")]
+    )
+    return t.take(order)
+
+
+def refit_canonical(
+    points: ray.data.Dataset,
+    compress: bool = True,
+) -> ray.data.Dataset:
+    """Points (any batch layout, per-series-sorted within batches after sorting)
+    -> canonically fitted points equal to a whole-series fit."""
+
+    def local_fit(t: pa.Table) -> pa.Table:
+        fitted = fit_table(_sorted_points(t), keys=("source",), compress=compress, validate=False)
+        src = np.asarray(fitted.column("source").to_numpy(zero_copy_only=False))
+        n = len(src)
+        edge = np.zeros(n, dtype=bool)
+        if n:
+            first = np.concatenate([[True], src[1:] != src[:-1]])
+            edge[np.flatnonzero(first)] = True
+            edge[np.append(np.flatnonzero(first)[1:] - 1, n - 1)] = True
+        return fitted.append_column("_edge", pa.array(edge))
+
+    tagged = points.map_batches(local_fit, batch_size=None, batch_format="pyarrow").materialize()
+    interior = tagged.map_batches(
+        lambda t: t.filter(pa.compute.invert(t.column("_edge"))).drop_columns(["_edge"]),
+        batch_format="pyarrow",
+    )
+    edges = tagged.map_batches(
+        lambda t: t.filter(t.column("_edge")).drop_columns(["_edge"]),
+        batch_format="pyarrow",
+    )
+    edges_fitted = edges.repartition(1).map_batches(
+        lambda t: fit_table(_sorted_points(t), keys=("source",), compress=compress, validate=False),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+    return interior.union(edges_fitted)
