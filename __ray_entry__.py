@@ -650,23 +650,17 @@ def q_ann_topk_lsh(sf_dir: str):
 
 
 def q_ev_sliding_max_halo(sf_dir: str):
-    """Chunk+halo sliding max (the long-series scale path); canonicalized with a
-    final fit so it matches the whole-series oracle exactly."""
-    from scala_timeseries_lib_ray.functions.fit import fit_table
+    """Chunk+halo sliding max (the long-series scale path); canonical edge refit
+    makes it match the whole-series oracle exactly."""
     from scala_timeseries_lib_ray.stages.windowstage import sliding_window_halo
+
+    from scala_timeseries_lib_ray.stages.canonical import refit_canonical
 
     out = sliding_window_halo(
         _ev_points_ds(sf_dir), width=3_600_000, agg="max",
         chunk_width=86_400_000, max_validity=600_000,
     )
-
-    def canon(t: pa.Table) -> pa.Table:
-        order = pa.compute.sort_indices(
-            t, sort_keys=[("source", "ascending"), ("ts", "ascending")]
-        )
-        return fit_table(t.take(order), keys=("source",), validate=False)
-
-    return out.groupby("source").map_groups(canon, batch_format="pyarrow")
+    return refit_canonical(out)
 
 
 def q_embedding_centroids(sf_dir: str):

@@ -126,3 +126,20 @@ def test_resumable_cascade(ray_session, tmp_path):
     m3 = run_cascade_resumable(tokens_path, out_dir)
     assert m3["tier_1m"]["skipped"] and not m3["tier_1h"]["skipped"] and m3["tier_1d"]["skipped"]
     assert m3["tier_1h"]["value_checksum"] == m1["tier_1h"]["value_checksum"]
+
+
+def test_reservoir_merge_weighting_and_determinism():
+    from scala_timeseries_lib_ray.functions.stats import UniformReservoir
+
+    import numpy as np
+
+    a1 = UniformReservoir(size=200, seed=1).update_many(np.full(500, 1.0))
+    b1 = UniformReservoir(size=200, seed=2).update_many(np.full(500, 5.0))
+    m1 = a1.merge(b1).snapshot()
+    # equal counts -> roughly half the slots from each side
+    assert 2.0 < m1.mean < 4.0
+    # deterministic: same seeds, same inputs -> identical snapshot
+    a2 = UniformReservoir(size=200, seed=1).update_many(np.full(500, 1.0))
+    b2 = UniformReservoir(size=200, seed=2).update_many(np.full(500, 5.0))
+    m2 = a2.merge(b2).snapshot()
+    assert m1.as_dict() == m2.as_dict()
