@@ -56,3 +56,34 @@ def test_refit_idempotent(quantized_points):
     once = refit_canonical(fit_shards(quantized_points, block_width=600_000))
     twice = refit_canonical(once)
     pd.testing.assert_frame_equal(_df(once), _df(twice))
+
+
+def test_hot_source_skew_bounded(ray_session):
+    """One pathologically hot source: the shard path never concentrates the series
+    into one task (bounded batches) yet still yields the exact global fit."""
+    import ray.data
+
+    from scala_timeseries_lib_ray.stages.canonical import refit_canonical
+    from scala_timeseries_lib_ray.stages.fitstage import fit_per_series, fit_shards
+
+    t = derive_points_batch(synth_token_batch("hot", 0, 60_000))
+    v = np.floor(np.asarray(t.column("value").to_numpy(zero_copy_only=False)) / 512.0)
+    t = t.set_column(t.schema.get_field_index("value"), "value", pa.array(v, pa.float64()))
+    ds = ray.data.from_arrow(t).repartition(16)
+
+    # observe per-batch sizes through the shard path: bounded by the partitioning,
+    # NOT by the (single) series
+    sizes = (
+        fit_shards(ds, block_width=600_000)
+        .map_batches(
+            lambda b: pa.table({"n": pa.array([len(b)], pa.int64())}),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+        .to_pandas()["n"]
+    )
+    assert len(sizes) >= 8 and sizes.max() < len(t)  # spread across many tasks
+
+    got = _df(refit_canonical(fit_shards(ds, block_width=600_000)))
+    want = _df(fit_per_series(ds))
+    pd.testing.assert_frame_equal(got, want)
