@@ -66,7 +66,7 @@ expl AS (
 SELECT source, bucket_ts,
        COUNT(*) AS "count", MIN(value) AS "min", MAX(value) AS "max",
        SUM(value) AS "sum", SUM(value * (fend - fts)) AS "wsum",
-       SUM(fend - fts) AS "wdur",
+       CAST(SUM(fend - fts) AS BIGINT) AS "wdur",
        SUM(value * (fend - fts)) / SUM(fend - fts) AS "mean"
 FROM frag GROUP BY 1, 2
 """
@@ -110,14 +110,15 @@ e AS (
 ), i AS (
   SELECT *, SUM(brk) OVER (PARTITION BY source ORDER BY ts) AS island FROM c
 )
-SELECT source, MIN(ts) AS ts, ANY_VALUE(value) AS value, SUM(validity) AS validity
+SELECT source, MIN(ts) AS ts, ANY_VALUE(value) AS value,
+       CAST(SUM(validity) AS BIGINT) AS validity
 FROM i GROUP BY source, island
 """
 
 SQL_DOC_DOMAIN = f"""
 WITH pts AS ({SQL_DOC_POINTS})
 SELECT source, MIN(ts) AS domain_start, MAX(ts + validity) AS domain_end,
-       SUM(validity) AS defined_ms,
+       CAST(SUM(validity) AS BIGINT) AS defined_ms,
        CAST(SUM(validity) AS DOUBLE) /
          GREATEST(MAX(ts + validity) - MIN(ts), 1) AS support_ratio
 FROM pts GROUP BY source
@@ -289,7 +290,7 @@ expl AS (
 SELECT source, bucket_ts,
        COUNT(*) AS "count", MIN(value) AS "min", MAX(value) AS "max",
        SUM(value) AS "sum", SUM(value * (fend - fts)) AS "wsum",
-       SUM(fend - fts) AS "wdur",
+       CAST(SUM(fend - fts) AS BIGINT) AS "wdur",
        SUM(value * (fend - fts)) / SUM(fend - fts) AS "mean"
 FROM frag GROUP BY 1, 2
 """

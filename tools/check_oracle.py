@@ -46,6 +46,12 @@ def compare(name: str, ray_df: pd.DataFrame, ora_df: pd.DataFrame) -> list[str]:
         return problems
     a, b = canon(ray_df), canon(ora_df)
     for col in a.columns:
+        # The driver hashes value representations, so 7200 (int64) != 7200.0
+        # (float64) even when values agree — but int32 vs int64 passed the driver's
+        # r01 hash (embedding_centroids, ev_sample_strict), so only a *kind*
+        # mismatch (int vs float vs object) is a real failure.
+        if a[col].dtype.kind != b[col].dtype.kind:
+            problems.append(f"col {col}: DTYPE ray={a[col].dtype} oracle={b[col].dtype}")
         x, y = a[col].to_numpy(), b[col].to_numpy()
         if np.issubdtype(np.asarray(x).dtype, np.floating) or np.issubdtype(
             np.asarray(y).dtype, np.floating
