@@ -541,6 +541,124 @@ SELECT md5(lower(text)) AS text_hash, MIN(doc_id) AS keep_doc_id,
 FROM documents GROUP BY 1
 """
 
+# mutated documents (planted near-duplicates) — SQL mirror of _mutated_docs
+SQL_MUTATED_DOCS = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 10000000,
+       substr(text, 1, GREATEST(1, CAST(floor(length(text) * 0.8::DOUBLE) AS BIGINT)))
+FROM documents
+"""
+
+
+def _sql_perm_values() -> str:
+    """The fixed minhash permutation constants as a SQL VALUES table (i, a, b)."""
+    from scala_timeseries_lib_ray.pipelines.dataprep import PERM_A, PERM_B
+
+    rows = ", ".join(
+        f"({i}, {int(a)}::UBIGINT, {int(b)}::UBIGINT)"
+        for i, (a, b) in enumerate(zip(PERM_A, PERM_B))
+    )
+    return f"(VALUES {rows}) p(i, a, b)"
+
+
+def _sql_shingles(shingle: str) -> str:
+    """Per-doc shingle list expression over mdocs, mirroring dataprep's
+    shingle_hashes_words (3-word shingles) / shingle_hashes_chars (char 5-grams)."""
+    if shingle == "word3":
+        return """
+SELECT doc_id,
+       CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+            WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+            ELSE list_transform(range(1, len(ws) - 1),
+                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+       END AS shingles
+FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM mdocs)
+"""
+    if shingle == "char5":
+        return """
+SELECT doc_id,
+       CASE WHEN length(low) = 0 THEN []::VARCHAR[]
+            WHEN length(low) < 5 THEN [low]
+            ELSE list_transform(range(1, length(low) - 3), i -> substr(low, i, 5))
+       END AS shingles
+FROM (SELECT doc_id, lower(text) AS low FROM mdocs)
+"""
+    raise ValueError(shingle)
+
+
+def _sql_minhash_dedup(threshold: float, shingle: str) -> str:
+    """Full MinHash+LSH+verify in SQL: md5_number_lower shingle hashes mod 2^31-1,
+    64 affine permutations (inlined constants), 16 bands of 4 rows joined on the
+    '|'-concatenated band key, exact-Jaccard verification over distinct shingle
+    sets. Mirrors pipelines/dataprep.minhash_lsh_dedup value-for-value."""
+    return f"""
+WITH mdocs AS ({SQL_MUTATED_DOCS}),
+sh AS ({_sql_shingles(shingle)}),
+sgd AS (SELECT DISTINCT doc_id, md5_number_lower(u.sh) % 2147483647::UBIGINT AS x
+        FROM sh, unnest(shingles) u(sh)),
+perms AS (SELECT * FROM {_sql_perm_values()}),
+mh AS (SELECT doc_id, p.i, MIN((p.a * x + p.b) % 2147483647::UBIGINT) AS mv
+       FROM sgd, perms p GROUP BY 1, 2),
+band AS (SELECT doc_id, i // 4 AS band, string_agg(mv::VARCHAR, '|' ORDER BY i) AS key
+         FROM mh GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM band a JOIN band b USING (band, key) WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sgd GROUP BY 1),
+ixn AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+        FROM cand c
+        JOIN sgd sa ON sa.doc_id = c.doc_a
+        JOIN sgd sb ON sb.doc_id = c.doc_b AND sb.x = sa.x
+        GROUP BY 1, 2),
+ver AS (SELECT c.doc_a, c.doc_b,
+               COALESCE(i.ni, 0)::DOUBLE
+                 / GREATEST(na.n + nb.n - COALESCE(i.ni, 0), 1)::DOUBLE AS jaccard
+        FROM cand c
+        LEFT JOIN ixn i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes na ON na.doc_id = c.doc_a
+        JOIN sizes nb ON nb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= {threshold}
+"""
+
+
+SQL_DEDUP_SIMHASH = """
+WITH mdocs AS ({MUT}),
+w AS (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS w
+      FROM mdocs),
+h AS (SELECT doc_id, md5_number_lower(w) AS hw FROM w),
+b AS (SELECT doc_id, r.b AS bit,
+             SUM(CASE WHEN (hw >> r.b::UBIGINT) & 1::UBIGINT = 1::UBIGINT THEN 1 ELSE -1 END) AS acc
+      FROM h CROSS JOIN range(64) r(b) GROUP BY 1, 2),
+sh AS (SELECT doc_id, SUM(CASE WHEN acc > 0 THEN (1::HUGEINT << CAST(bit AS INT)) ELSE 0 END)::UBIGINT AS s
+       FROM b GROUP BY 1),
+seg AS (SELECT doc_id, s, g.i AS seg, (s >> (16 * g.i)::UBIGINT) & 65535::UBIGINT AS seg_val
+        FROM sh CROSS JOIN range(4) g(i)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+         FROM seg a JOIN seg b ON a.seg = b.seg AND a.seg_val = b.seg_val
+                               AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+""".format(MUT=SQL_MUTATED_DOCS)
+
+
+# brute-force oracle for the LSH-banded engine path (banding miss prob ~2e-6;
+# the planted-duplicate pytest pins recall independently)
+SQL_DEDUP_EMBEDDING = """
+WITH emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+memb AS (
+  SELECT vec_id, e FROM emb0
+  UNION ALL
+  SELECT vec_id + 10000000,
+         list_transform(range(1, len(e) + 1),
+             i -> ((e[i] + ((vec_id * 31 + (i - 1)) % 13 - 6) * 0.001)::FLOAT)::DOUBLE)
+  FROM emb0
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM memb a JOIN memb b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.98
+"""
+
+
 SQL_ANN_TOPK = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
 s AS (
@@ -565,13 +683,17 @@ FROM u GROUP BY 1, 2
 def _docs_ds(sf_dir: str, columns=("doc_id", "text")):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    # the documents file is a single row group: without override_num_blocks the
+    # whole corpus lands in ONE block and every per-batch kernel runs serially
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=list(columns), override_num_blocks=16
+    )
 
 
 def _emb_ds(sf_dir: str):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", override_num_blocks=16)
 
 
 def q_text_stats(sf_dir: str):
@@ -671,7 +793,7 @@ def q_embedding_centroids(sf_dir: str):
 
 
 def q_dedup_embedding(sf_dir: str):
-    from scala_timeseries_lib_ray.pipelines.dataprep import embedding_near_dup_pairs
+    from scala_timeseries_lib_ray.pipelines.dataprep import embedding_near_dup_lsh
 
     def mutate(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column("vec_id").to_numpy(zero_copy_only=False))
@@ -693,7 +815,7 @@ def q_dedup_embedding(sf_dir: str):
 
     base = _emb_ds(sf_dir)
     both = base.union(base.map_batches(mutate, batch_format="pyarrow"))
-    return embedding_near_dup_pairs(both, threshold=0.98)
+    return embedding_near_dup_lsh(both, threshold=0.98)
 
 
 def q_media_features(sf_dir: str):
@@ -1038,11 +1160,11 @@ def q_doc_slice_discrete(sf_dir: str):
 
 
 def q_dedup_ngram(sf_dir: str):
-    """n-gram Jaccard near-dup pairs over the planted corpus, verified pairwise
-    within LSH candidate buckets (rows-only: custom hashing)."""
+    """Char-5-gram Jaccard near-dup pairs over the planted corpus (MinHash+LSH
+    engine with character shingles; exact-Jaccard verified; full SQL oracle)."""
     from scala_timeseries_lib_ray.pipelines.dataprep import minhash_lsh_dedup
 
-    return minhash_lsh_dedup(_mutated_docs(sf_dir), threshold=0.7)
+    return minhash_lsh_dedup(_mutated_docs(sf_dir), threshold=0.7, shingle="char5")
 
 
 SQL_DOC_MAP_ENTRIES = f"""
@@ -1281,6 +1403,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": SQL_LANG_ID,
         "fingerprint": SQL_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_minhash": _sql_minhash_dedup(0.5, "word3"),
+        "dedup_ngram": _sql_minhash_dedup(0.7, "char5"),
+        "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "dedup_embedding": SQL_DEDUP_EMBEDDING,
         "ann_topk": SQL_ANN_TOPK,
         "embedding_centroids": SQL_CENTROIDS,
         "gorilla_roundtrip": SQL_DOC_POINTS,

@@ -1,20 +1,37 @@
 """Training-data pipeline operators over the documents/embeddings tables:
-text analysis, fingerprinting, dedup family (exact, MinHash+LSH, SimHash, n-gram
-Jaccard, embedding cosine), and brute-force ANN.
+text analysis, fingerprinting, dedup family (exact, MinHash+LSH word shingles,
+MinHash+LSH char n-grams, SimHash, embedding cosine), and ANN.
 
-All hashing is deterministic (hashlib / fixed-constant mixers — never Python's
-seeded ``hash``). Every stage is a vectorized ``map_batches`` kernel; wide steps
-(bucket groupbys for LSH bands, candidate verification) state their shuffle keys.
+All hashing is deterministic and **SQL-mirrorable**: word/shingle hashes are
+``md5_number_lower`` parity (little-endian uint64 of md5 digest bytes 8..16 —
+DuckDB's ``md5_number_lower``), so every dedup family member has an exact DuckDB
+oracle. No Python ``hash``, no seeds that differ across processes.
+
+Scale design (the 100-TB contract):
+- Signature passes are vectorized ``map_batches`` kernels; only (id, band, key)
+  rows — never text — ride any exchange.
+- Candidate extraction has two paths: ``candidates="local"`` (default here)
+  funnels the compact signature rows to one root task — right for single-node
+  local mode where Ray's sort-based groupby costs ~20 s fixed; at cluster scale
+  pass ``candidates="groupby"`` to hash-partition by (band, key) instead, which
+  is the honest all-to-all (uniform keys, no skew).
+- Verification is a **candidate-id map-side join**: the (small) candidate id set
+  is broadcast via ``ray.put``; a second streaming pass over the corpus extracts
+  signatures only for candidate ids; pairs are verified in a distributed
+  ``map_batches`` against that bounded broadcast. The corpus is never
+  materialized on the driver (``max_candidates`` guards the bound).
 """
 
 from __future__ import annotations
 
 import hashlib
 import re
+import sys
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data
 
 # ------------------------------------------------------------------- text analysis
@@ -31,7 +48,7 @@ LANG_MARKERS = [
 
 _PUNCT_RE = r"[.,;:!?]"
 _TOKEN_RE = r"\S+"
-_WORD_RE = r"[a-z0-9]+"
+_WORD_SPLIT_RE = "[^a-z0-9]+"  # split-form of the [a-z0-9]+ tokenizer
 
 
 def text_stats_batch(t: pa.Table) -> pa.Table:
@@ -78,28 +95,95 @@ def lang_id_batch(t: pa.Table) -> pa.Table:
     )
 
 
+# --------------------------------------------------------------- hashing primitives
+
+_M31 = (1 << 31) - 1  # Mersenne modulus: a*x+b stays < 2^62, so uint64 suffices
+
 FP_BASE = 1_000_003
-FP_MOD = (1 << 61) - 1
+FP_MOD = _M31  # vectorizable modulus (chunked Horner stays inside uint64)
+
+
+def md5_u64(strings) -> np.ndarray:
+    """DuckDB ``md5_number_lower`` parity: little-endian uint64 of md5 digest
+    bytes 8..16. One C-speed md5 call per string — used only over batch
+    vocabularies / shingle lists, never per corpus row on the driver."""
+    out = np.empty(len(strings), dtype=np.uint64)
+    md5 = hashlib.md5
+    fb = int.from_bytes
+    for i, s in enumerate(strings):
+        out[i] = fb(md5(s.encode()).digest()[8:], "little")
+    return out
+
+
+_POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1).astype(np.uint8)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for uint64 arrays (numpy 1.26 has no bitwise_count)."""
+    b = np.ascontiguousarray(x, dtype=np.uint64).view(np.uint8).reshape(-1, 8)
+    return _POP[b].sum(axis=1).astype(np.int64)
+
+
+def _doc_words(t: pa.Table) -> tuple[np.ndarray, list[list[str]]]:
+    """(doc_ids, per-doc word lists) via the vectorized Arrow tokenizer
+    (utf8_lower + split on non-[a-z0-9]); mirrors SQL
+    regexp_extract_all(lower(text), '[a-z0-9]+')."""
+    ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+    low = pc.utf8_lower(t.column("text"))
+    lists = pc.split_pattern_regex(low, _WORD_SPLIT_RE)
+    words = [[w for w in ws if w] for ws in lists.to_pylist()]
+    return ids, words
 
 
 def fingerprint_batch(t: pa.Table) -> pa.Table:
     """Two document fingerprints: md5 hex (oracle-checkable via SQL md5()) and a
-    polynomial rolling hash of the bytes mod 2^61-1 (the streaming-friendly form)."""
+    polynomial rolling hash of the utf-8 bytes mod 2^31-1, computed as a chunked
+    Horner scan: the byte matrix advances 64 columns per numpy step, so the cost
+    is O(maxlen/64) vectorized ops per batch instead of a per-byte Python loop."""
     texts = t.column("text").to_pylist()
     md5s = [hashlib.md5(s.encode()).hexdigest() for s in texts]
-    rolls = []
-    for s in texts:
-        h = 0
-        for b in s.encode():
-            h = (h * FP_BASE + b) % FP_MOD
-        rolls.append(h)
+    rolls = _rolling_hash_batch([s.encode() for s in texts])
     return pa.table(
         {
             "doc_id": t.column("doc_id"),
             "md5": pa.array(md5s),
-            "rolling": pa.array(np.array(rolls, dtype=np.uint64).astype(np.int64)),
+            "rolling": pa.array(rolls.astype(np.int64)),
         }
     )
+
+
+_CHUNK = 64
+
+
+def _rolling_hash_batch(bufs: list[bytes]) -> np.ndarray:
+    """h = fold(h * B + byte) mod 2^31-1 over each buffer, vectorized across the
+    batch. Left-pads to a common length with zero bytes (a zero high-order byte
+    contributes nothing to the polynomial, so padding preserves each value)."""
+    n = len(bufs)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    maxlen = max((len(b) for b in bufs), default=0)
+    if maxlen == 0:
+        return np.zeros(n, dtype=np.uint64)
+    maxlen = ((maxlen + _CHUNK - 1) // _CHUNK) * _CHUNK
+    M = np.zeros((n, maxlen), dtype=np.uint8)
+    for i, b in enumerate(bufs):
+        if b:
+            M[i, maxlen - len(b):] = np.frombuffer(b, dtype=np.uint8)
+    B = np.uint64(FP_BASE % _M31)
+    # powers B^(CHUNK-1..0) mod p and the per-chunk shift B^CHUNK mod p
+    pows = np.empty(_CHUNK, dtype=np.uint64)
+    acc = np.uint64(1)
+    for j in range(_CHUNK - 1, -1, -1):
+        pows[j] = acc
+        acc = np.uint64((int(acc) * int(B)) % _M31)
+    shift = acc  # B^CHUNK mod p
+    h = np.zeros(n, dtype=np.uint64)
+    for c in range(0, maxlen, _CHUNK):
+        # chunk value: sum(byte * B^k) < 2^8 * 2^31 * 64 < 2^45 — no overflow
+        chunk = (M[:, c : c + _CHUNK].astype(np.uint64) * pows[None, :]).sum(axis=1) % _M31
+        h = (h * shift + chunk) % _M31
+    return h
 
 
 # ------------------------------------------------------------------------ dedup: exact
@@ -107,11 +191,14 @@ def fingerprint_batch(t: pa.Table) -> pa.Table:
 
 def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Exact dedup by content hash: hash in a vectorized map_batches, keep the min
-    doc_id per hash. Shuffle key: the content hash (uniform — no skew)."""
+    doc_id per hash. Shuffle key: the content hash (uniform — no skew). The md5
+    call per document IS the kernel here (no per-feature Python loop); it is
+    embarrassingly parallel across batches."""
     from ray.data.aggregate import Count, Min
 
     def add_hash(t: pa.Table) -> pa.Table:
-        h = [hashlib.md5(s.lower().encode()).hexdigest() for s in t.column("text").to_pylist()]
+        lows = pc.utf8_lower(t.column("text")).to_pylist()
+        h = [hashlib.md5(s.encode()).hexdigest() for s in lows]
         return pa.table({"doc_id": t.column("doc_id"), "text_hash": pa.array(h)})
 
     hashed = docs.map_batches(add_hash, batch_format="pyarrow")
@@ -122,207 +209,471 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 # ---------------------------------------------------------------- dedup: minhash/LSH
 
-_M31 = (1 << 31) - 1  # Mersenne modulus: a*x+b stays < 2^62, so uint64 suffices
-
-
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """k-word shingles -> stable 31-bit hashes (md5-based, deterministic)."""
-    words = re.findall(_WORD_RE, text.lower())
-    if len(words) < k:
-        shingles = [" ".join(words)] if words else []
-    else:
-        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") % _M31
-    return out
-
-
 # fixed affine permutations a*x+b mod 2^31-1 (constants from a seeded generator —
-# deterministic across runs and processes)
+# deterministic across runs and processes; inlined into the SQL oracle as a
+# VALUES table, see __ray_entry__._sql_minhash_dedup)
 _PERM_RNG = np.random.default_rng(20240817)
 N_HASHES = 64
-_PERM_A = _PERM_RNG.integers(1, _M31, N_HASHES, dtype=np.int64).astype(np.uint64)
-_PERM_B = _PERM_RNG.integers(0, _M31, N_HASHES, dtype=np.int64).astype(np.uint64)
+PERM_A = _PERM_RNG.integers(1, _M31, N_HASHES, dtype=np.int64).astype(np.uint64)
+PERM_B = _PERM_RNG.integers(0, _M31, N_HASHES, dtype=np.int64).astype(np.uint64)
 
 
-def minhash_signature(text: str) -> np.ndarray:
-    h = _shingle_hashes(text)
-    if len(h) == 0:
-        return np.full(N_HASHES, _M31, dtype=np.uint64)
+def shingle_hashes_words(text_words: list[str], k: int = 3) -> np.ndarray:
+    """k-word shingles -> distinct sorted 31-bit hashes (md5_number_lower % M31).
+    Docs with zero words yield an empty set (excluded from LSH — a doc with no
+    tokens has no shingle evidence; mirrors the SQL oracle's natural exclusion)."""
+    ws = text_words
+    if not ws:
+        return np.empty(0, dtype=np.uint64)
+    if len(ws) < k:
+        shingles = [" ".join(ws)]
+    else:
+        shingles = [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+    return np.unique(md5_u64(shingles) % np.uint64(_M31))
+
+
+def shingle_hashes_chars(text_lower: str, n: int = 5) -> np.ndarray:
+    """Char n-gram shingles over the lowercased text (spaces included) -> distinct
+    sorted 31-bit hashes. SQL mirror: substr(lower(text), i, n) for i in 1..L-n+1."""
+    L = len(text_lower)
+    if L == 0:
+        return np.empty(0, dtype=np.uint64)
+    if L < n:
+        grams = [text_lower]
+    else:
+        grams = [text_lower[i : i + n] for i in range(L - n + 1)]
+    return np.unique(md5_u64(grams) % np.uint64(_M31))
+
+
+def minhash_signature(hashes: np.ndarray) -> np.ndarray:
+    """(N_HASHES,) minhash signature from a doc's shingle-hash set; empty set ->
+    empty signature (doc excluded upstream)."""
     # fully vectorized (n_hashes, n_shingles) affine transform in uint64
-    prods = (_PERM_A[:, None] * h[None, :] + _PERM_B[:, None]) % np.uint64(_M31)
+    prods = (PERM_A[:, None] * hashes[None, :] + PERM_B[:, None]) % np.uint64(_M31)
     return np.min(prods, axis=1)
 
 
-def minhash_batch(t: pa.Table, bands: int = 16) -> pa.Table:
-    """docs -> exploded (band, band_hash, doc_id) rows for the LSH bucket groupby."""
+def _doc_shingles(t: pa.Table, shingle: str) -> tuple[np.ndarray, list[np.ndarray]]:
+    if shingle == "word3":
+        ids, words = _doc_words(t)
+        return ids, [shingle_hashes_words(ws) for ws in words]
+    if shingle == "char5":
+        ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+        lows = pc.utf8_lower(t.column("text")).to_pylist()
+        return ids, [shingle_hashes_chars(s) for s in lows]
+    raise ValueError(f"unknown shingle mode {shingle!r}")
+
+
+def minhash_band_batch(t: pa.Table, bands: int, shingle: str) -> pa.Table:
+    """docs -> (doc_id, band, key) rows for LSH bucketing. The band key is the
+    plain '|'-joined minhash values (SQL: string_agg over the band's rows) — a
+    join key, not a digest, so the oracle can reproduce it verbatim."""
     rows_per_band = N_HASHES // bands
-    doc_ids, band_ids, band_hashes = [], [], []
-    for doc_id, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
-        sig = minhash_signature(text)
+    ids, shingle_sets = _doc_shingles(t, shingle)
+    doc_ids, band_ids, keys = [], [], []
+    for d, hs in zip(ids, shingle_sets):
+        if len(hs) == 0:
+            continue
+        sig = minhash_signature(hs)
         for b in range(bands):
             chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            bh = hashlib.md5(chunk.tobytes() + bytes([b])).hexdigest()[:16]
-            doc_ids.append(doc_id)
+            doc_ids.append(d)
             band_ids.append(b)
-            band_hashes.append(bh)
+            keys.append("|".join(str(int(v)) for v in chunk))
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids),
+            "doc_id": pa.array(doc_ids, pa.int64()),
             "band": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(band_hashes),
+            "key": pa.array(keys, pa.string()),
         }
     )
 
 
-def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
-    a = set(_shingle_hashes(text_a, k).tolist())
-    b = set(_shingle_hashes(text_b, k).tolist())
-    if not a and not b:
-        return 1.0
-    return len(a & b) / max(len(a | b), 1)
+def _pairs_from_buckets(
+    bucket_codes: np.ndarray, doc_ids: np.ndarray, max_bucket: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct candidate (a, b) pairs from rows sharing a bucket code. Buckets
+    larger than max_bucket are truncated to their first max_bucket members (by
+    doc_id) with a stderr note — an O(bucket^2) guard for degenerate keys."""
+    order = np.lexsort((doc_ids, bucket_codes))
+    bc, di = bucket_codes[order], doc_ids[order]
+    starts = np.flatnonzero(np.r_[True, bc[1:] != bc[:-1]])
+    ends = np.r_[starts[1:], len(bc)]
+    out_a, out_b = [], []
+    dropped = 0
+    for s, e in zip(starts, ends):
+        c = e - s
+        if c < 2:
+            continue
+        if c > max_bucket:
+            dropped += 1
+            e = s + max_bucket
+            c = max_bucket
+        members = np.unique(di[s:e])
+        m = len(members)
+        if m < 2:
+            continue
+        ii, jj = np.triu_indices(m, k=1)
+        out_a.append(members[ii])
+        out_b.append(members[jj])
+    if dropped:
+        print(f"[dataprep] {dropped} LSH buckets truncated to {max_bucket} members", file=sys.stderr)
+    if not out_a:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    # distinct pairs (same pair can surface from several bands)
+    key = a.astype(np.uint64) << np.uint64(32) | b.astype(np.uint64)
+    _, first = np.unique(key, return_index=True)
+    return a[first], b[first]
+
+
+_EMPTY_PAIRS = pa.table(
+    {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+)
+
+
+def _candidate_pairs_local(sig: ray.data.Dataset, max_bucket: int) -> pa.Table:
+    """Root-task candidate extraction over compact (doc_id, band, key) rows.
+    Single-node fast path: the signature table is ~16 rows x 20 B per doc — at
+    sf0.1 that's ~3 MB; Ray's sort-based groupby costs ~20 s fixed here, the
+    root task costs ~0.1 s. At cluster scale use candidates="groupby"."""
+
+    def emit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY_PAIRS
+        band = np.asarray(t.column("band").to_numpy(zero_copy_only=False), dtype=np.int64)
+        karr = t.column("key").combine_chunks()
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.chunk(0) if karr.num_chunks else pa.array([], pa.string())
+        key_dict = pc.dictionary_encode(karr)
+        codes = np.asarray(key_dict.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+        ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+        bucket = band * (codes.max() + 1) + codes
+        a, b = _pairs_from_buckets(bucket, ids, max_bucket)
+        return pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
+
+    tables = list(
+        sig.repartition(1)
+        .map_batches(emit, batch_size=None, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    return pa.concat_tables(tables) if tables else _EMPTY_PAIRS
+
+
+def _candidate_pairs_groupby(sig: ray.data.Dataset, max_bucket: int) -> pa.Table:
+    """Cluster-scale candidate extraction: hash-partition the signature rows by
+    (band, key) — a uniform-key all-to-all — and emit pairs per bucket."""
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = np.unique(np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False)))
+        if len(ids) < 2:
+            return _EMPTY_PAIRS
+        if len(ids) > max_bucket:
+            ids = ids[:max_bucket]
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pa.table(
+            {"doc_a": pa.array(ids[ii], pa.int64()), "doc_b": pa.array(ids[jj], pa.int64())}
+        )
+
+    pairs = sig.groupby(["band", "key"]).map_groups(emit, batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        list(pairs.iter_batches(batch_size=None, batch_format="pyarrow")) or [_EMPTY_PAIRS]
+    )
+    if tbl.num_rows == 0:
+        return _EMPTY_PAIRS
+    a = np.asarray(tbl.column("doc_a").to_numpy(zero_copy_only=False))
+    b = np.asarray(tbl.column("doc_b").to_numpy(zero_copy_only=False))
+    key = a.astype(np.uint64) << np.uint64(32) | b.astype(np.uint64)
+    _, first = np.unique(key, return_index=True)
+    return pa.table({"doc_a": pa.array(a[first], pa.int64()), "doc_b": pa.array(b[first], pa.int64())})
 
 
 def minhash_lsh_dedup(
     docs: ray.data.Dataset,
     threshold: float = 0.5,
     bands: int = 16,
+    shingle: str = "word3",
+    candidates: str = "local",
+    max_bucket: int = 4096,
+    max_candidates: int = 1_000_000,
 ) -> ray.data.Dataset:
-    """MinHash+LSH near-dup pairs: shingle->minhash per batch, explode to band
-    buckets, groupby (band, band_hash) -> candidate pairs, verify exact Jaccard.
-    Shuffle key: (band, band_hash) — uniform by construction. The text needed for
-    verification rides along; at 10^12 scale the verify step re-reads texts by id
-    from the source instead (broadcast-join on the candidate id set)."""
-    sigs = docs.map_batches(lambda t: minhash_batch(t, bands), batch_format="pyarrow")
-    with_text = sigs  # need the text for verification: join back via broadcast below
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
-    # small-side broadcast of texts (documents catalog is the small side here)
-    texts = {r["doc_id"]: r["text"] for r in docs.select_columns(["doc_id", "text"]).take_all()}
-    import ray as _ray
+    1. signature pass: vectorized shingle+minhash per batch -> (doc_id, band, key).
+    2. candidate extraction: root task (local) or (band, key) groupby (cluster).
+    3. verify: broadcast the candidate id set (ray.put), stream the corpus again
+       extracting shingle sets ONLY for candidate ids, then verify each pair in a
+       distributed map_batches against that bounded broadcast. No corpus-sized
+       take_all anywhere; ``max_candidates`` bounds the broadcast.
 
-    text_ref = _ray.put(texts)
+    Output: (doc_a, doc_b, jaccard) for pairs with jaccard >= threshold.
+    """
+    sig = docs.map_batches(
+        lambda t: minhash_band_batch(t, bands, shingle), batch_format="pyarrow"
+    )
+    if candidates == "groupby":
+        cand = _candidate_pairs_groupby(sig, max_bucket)
+    else:
+        cand = _candidate_pairs_local(sig, max_bucket)
+    if cand.num_rows > max_candidates:
+        raise RuntimeError(
+            f"{cand.num_rows} candidate pairs exceed max_candidates={max_candidates}; "
+            "raise the LSH threshold/bands or the cap"
+        )
+    sig_map = _collect_candidate_shingles(docs, cand, shingle)
+    return _verify_jaccard(cand, sig_map, threshold)
 
-    def emit_pairs(t: pa.Table) -> pa.Table:
-        tx = _ray.get(text_ref)
-        ids = sorted(set(t.column("doc_id").to_pylist()))
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                jac = jaccard(tx[ids[i]], tx[ids[j]])
-                if jac >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_j.append(jac)
+
+def _collect_candidate_shingles(
+    docs: ray.data.Dataset, cand: pa.Table, shingle: str
+) -> dict[int, np.ndarray]:
+    """Map-side join: broadcast the candidate id set, stream the corpus once more
+    and keep shingle sets only for candidate docs (candidate-bounded, not
+    corpus-bounded)."""
+    ids_needed = np.unique(
+        np.concatenate(
+            [
+                np.asarray(cand.column("doc_a").to_numpy(zero_copy_only=False)),
+                np.asarray(cand.column("doc_b").to_numpy(zero_copy_only=False)),
+            ]
+        )
+        if cand.num_rows
+        else [np.empty(0, np.int64)]
+    )
+    ref = ray.put(ids_needed)
+
+    def extract(t: pa.Table) -> pa.Table:
+        needed = ray.get(ref)
+        ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+        m = np.isin(ids, needed)
+        if not m.any():
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "hashes": pa.array([], pa.list_(pa.uint64()))}
+            )
+        sub = t.filter(pa.array(m))
+        sids, sets = _doc_shingles(sub, shingle)
         return pa.table(
             {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "jaccard": pa.array(out_j, pa.float64()),
+                "doc_id": pa.array(sids, pa.int64()),
+                "hashes": pa.array([h for h in sets], pa.list_(pa.uint64())),
             }
         )
 
-    pairs = with_text.groupby(["band", "band_hash"]).map_groups(
-        emit_pairs, batch_format="pyarrow"
-    )
+    rows = docs.map_batches(extract, batch_format="pyarrow").take_all()  # candidate-sized
+    return {r["doc_id"]: np.asarray(r["hashes"], dtype=np.uint64) for r in rows}
 
-    # candidate pairs can surface from several bands -> distinct. The pair set is
-    # tiny relative to the corpus (near-dup pairs only), so a single-block dedupe
-    # beats a second all-to-all groupby by ~10s on this Ray version.
-    def dedupe(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"])
-        return pa.Table.from_pandas(df, preserve_index=False)
 
-    return pairs.repartition(1).map_batches(dedupe, batch_size=None, batch_format="pyarrow")
+def _pair_chunks(cand: pa.Table, rows_per_chunk: int = 25_000) -> list[pa.Table]:
+    """Slice the candidate-pair table into blocks so pair verification
+    parallelizes (ray.data.from_arrow makes ONE block per table)."""
+    if cand.num_rows == 0:
+        return [cand]
+    return [cand.slice(i, rows_per_chunk) for i in range(0, cand.num_rows, rows_per_chunk)]
+
+
+def _verify_jaccard(
+    cand: pa.Table, sig_map: dict[int, np.ndarray], threshold: float
+) -> ray.data.Dataset:
+    ref = ray.put(sig_map)
+
+    def verify(t: pa.Table) -> pa.Table:
+        sm = ray.get(ref)
+        a = np.asarray(t.column("doc_a").to_numpy(zero_copy_only=False))
+        b = np.asarray(t.column("doc_b").to_numpy(zero_copy_only=False))
+        out_a, out_b, out_j = [], [], []
+        for x, y in zip(a, b):
+            ha = sm.get(x)
+            hb = sm.get(y)
+            if ha is None or hb is None:
+                continue
+            inter = len(np.intersect1d(ha, hb, assume_unique=True))
+            union = len(ha) + len(hb) - inter
+            j = inter / max(union, 1)
+            if j >= threshold:
+                out_a.append(x)
+                out_b.append(y)
+                out_j.append(j)
+        order = np.lexsort((out_b, out_a)) if out_a else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "doc_a": pa.array(np.asarray(out_a, np.int64)[order], pa.int64()),
+                "doc_b": pa.array(np.asarray(out_b, np.int64)[order], pa.int64()),
+                "jaccard": pa.array(np.asarray(out_j, np.float64)[order], pa.float64()),
+            }
+        )
+
+    return ray.data.from_arrow(_pair_chunks(cand)).map_batches(verify, batch_format="pyarrow")
+
+
+def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact word-shingle Jaccard of two texts (test/API helper)."""
+    wa = [w for w in re.split(_WORD_SPLIT_RE, text_a.lower()) if w]
+    wb = [w for w in re.split(_WORD_SPLIT_RE, text_b.lower()) if w]
+    a = shingle_hashes_words(wa, k)
+    b = shingle_hashes_words(wb, k)
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    return inter / max(len(a) + len(b) - inter, 1)
 
 
 # -------------------------------------------------------------------- dedup: simhash
 
 
 def simhash_batch(t: pa.Table) -> pa.Table:
-    """64-bit SimHash over word tokens (md5-based word hashes, unweighted)."""
-    out = []
-    for text in t.column("text").to_pylist():
-        words = re.findall(_WORD_RE, text.lower())
-        acc = np.zeros(64, dtype=np.int64)
-        for w in set(words):
-            h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-            acc += np.where(bits == 1, 1, -1)
-        sh = 0
-        for b in range(64):
-            if acc[b] > 0:
-                sh |= 1 << b
-        out.append(sh)
+    """64-bit SimHash over DISTINCT word tokens, fully vectorized: the batch
+    vocabulary is hashed once (md5_number_lower parity), per-doc distinct word
+    membership comes from one np.unique, and the +-1 bit accumulation is a
+    scatter-add over a (docs, 64) matrix. Docs with zero words are excluded
+    (no token evidence; mirrors the SQL oracle's natural exclusion)."""
+    ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+    low = pc.utf8_lower(t.column("text"))
+    lists = pc.split_pattern_regex(low, _WORD_SPLIT_RE)
+    flat = pc.list_flatten(lists)
+    counts = np.asarray(pc.list_value_length(lists).to_numpy(zero_copy_only=False))
+    doc_idx = np.repeat(np.arange(len(ids)), counts)
+    keep = np.asarray(pc.not_equal(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False))
+    flat = flat.filter(pa.array(keep))
+    doc_idx = doc_idx[keep]
+    if len(doc_idx) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()), "simhash": pa.array([], pa.int64())})
+    uniq = pc.unique(flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat)
+    codes = np.asarray(pc.index_in(flat, value_set=uniq).to_numpy(zero_copy_only=False))
+    h = md5_u64(uniq.to_pylist())
+    V = len(uniq)
+    dk = np.unique(doc_idx.astype(np.int64) * V + codes)  # distinct (doc, word)
+    d_idx = (dk // V).astype(np.int64)
+    d_code = (dk % V).astype(np.int64)
+    bits = ((h[d_code][:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int32
+    )
+    pm = 2 * bits - 1
+    acc = np.zeros((len(ids), 64), dtype=np.int64)
+    np.add.at(acc, d_idx, pm)
+    sh = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+    has_words = np.zeros(len(ids), dtype=bool)
+    has_words[d_idx] = True
     return pa.table(
         {
-            "doc_id": t.column("doc_id"),
-            "simhash": pa.array(np.array(out, dtype=np.uint64).astype(np.int64)),
+            "doc_id": pa.array(ids[has_words], pa.int64()),
+            "simhash": pa.array(sh[has_words].astype(np.int64)),
         }
     )
 
 
-def simhash_near_pairs(docs: ray.data.Dataset, max_hamming: int = 8) -> ray.data.Dataset:
-    """SimHash near-dup pairs via 4-segment pigeonhole: pairs within Hamming
-    distance d must share one of 4 16-bit segments if d <= 3·… (standard banding);
-    groupby segment value -> candidate pairs -> exact popcount verify."""
+def simhash_near_pairs(
+    docs: ray.data.Dataset,
+    max_hamming: int = 3,
+    n_segments: int | None = None,
+    candidates: str = "local",
+    max_bucket: int = 8192,
+) -> ray.data.Dataset:
+    """SimHash near-dup pairs via segment pigeonhole.
+
+    Guaranteed recall needs ``n_segments >= max_hamming + 1`` (a pair within
+    Hamming distance d differs in at most d segments, so at least one of d+1
+    segments matches). The default derives n_segments from max_hamming and
+    asserts the guarantee — passing fewer segments explicitly is a caller's
+    deliberate approximation.
+
+    Local path: the (doc_id, simhash) table is 16 B/doc; candidates resolve in a
+    root task over segment-value sorts. Cluster path (candidates="groupby"):
+    hash-partition by (segment, value)."""
+    if n_segments is None:
+        # smallest divisor of 64 with guaranteed pigeonhole recall
+        n_segments = next(d for d in (1, 2, 4, 8, 16, 32, 64) if d >= max_hamming + 1)
+    if n_segments < max_hamming + 1:
+        print(
+            f"[dataprep] n_segments={n_segments} < max_hamming+1={max_hamming + 1}: "
+            "pigeonhole recall is NOT guaranteed (approximate mode)",
+            file=sys.stderr,
+        )
+    if 64 % n_segments != 0:
+        raise ValueError("n_segments must divide 64")
+    seg_bits = 64 // n_segments
     hashed = docs.map_batches(simhash_batch, batch_format="pyarrow")
 
     def explode(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
         sh = np.asarray(t.column("simhash").to_numpy(zero_copy_only=False)).view(np.uint64)
-        rows = {"doc_id": [], "seg": [], "seg_val": [], "simhash": []}
-        for s in range(4):
-            seg = (sh >> np.uint64(16 * s)) & np.uint64(0xFFFF)
-            rows["doc_id"].append(ids)
-            rows["seg"].append(np.full(len(ids), s, dtype=np.int32))
-            rows["seg_val"].append(seg.astype(np.int64))
-            rows["simhash"].append(sh.view(np.int64))
-        return pa.table(
-            {
-                "doc_id": pa.array(np.concatenate(rows["doc_id"])),
-                "seg": pa.array(np.concatenate(rows["seg"])),
-                "seg_val": pa.array(np.concatenate(rows["seg_val"])),
-                "simhash": pa.array(np.concatenate(rows["simhash"])),
-            }
+        mask = np.uint64((1 << seg_bits) - 1)
+        parts = []
+        for s in range(n_segments):
+            seg = (sh >> np.uint64(seg_bits * s)) & mask
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids, pa.int64()),
+                        "band": pa.array(np.full(len(ids), s, dtype=np.int32)),
+                        "key": pa.array(seg.astype(np.int64)).cast(pa.string()),
+                        "simhash": pa.array(sh.view(np.int64)),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    sig = hashed.map_batches(explode, batch_format="pyarrow")
+    if candidates == "groupby":
+        cand = _candidate_pairs_groupby(sig.drop_columns(["simhash"]), max_bucket)
+    else:
+        cand = _candidate_pairs_local(sig.drop_columns(["simhash"]), max_bucket)
+
+    # verify pass: hamming from the simhashes of candidate docs (map-side join —
+    # simhashes re-derived only for candidate ids, candidate-bounded broadcast)
+    ids_needed = (
+        np.unique(
+            np.concatenate(
+                [
+                    np.asarray(cand.column("doc_a").to_numpy(zero_copy_only=False)),
+                    np.asarray(cand.column("doc_b").to_numpy(zero_copy_only=False)),
+                ]
+            )
         )
-
-    def pairs(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        sh = np.asarray(t.column("simhash").to_numpy(zero_copy_only=False)).view(np.uint64)
-        order = np.argsort(ids, kind="stable")
-        out_a, out_b, out_d = [], [], []
-        for ii in range(len(order)):
-            for jj in range(ii + 1, len(order)):
-                i, j = order[ii], order[jj]
-                if ids[i] == ids[j]:
-                    continue
-                d = int(bin(int(sh[i]) ^ int(sh[j])).count("1"))
-                if d <= max_hamming:
-                    a, b = sorted((ids[i], ids[j]))
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_d.append(d)
-        return pa.table(
-            {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "hamming": pa.array(out_d, pa.int64()),
-            }
-        )
-
-    cand = hashed.map_batches(explode, batch_format="pyarrow")
-
-    def dedupe(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"])
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    return (
-        cand.groupby(["seg", "seg_val"])
-        .map_groups(pairs, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(dedupe, batch_size=None, batch_format="pyarrow")
+        if cand.num_rows
+        else np.empty(0, np.int64)
     )
+    ref = ray.put(ids_needed)
+
+    def extract(t: pa.Table) -> pa.Table:
+        needed = ray.get(ref)
+        m = np.isin(np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False)), needed)
+        return t.filter(pa.array(m))
+
+    rows = hashed.map_batches(extract, batch_format="pyarrow").take_all()
+    row_ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    row_sh = np.array([r["simhash"] for r in rows], dtype=np.int64).view(np.uint64)
+    order = np.argsort(row_ids)
+    ref2 = ray.put((row_ids[order], row_sh[order]))
+
+    def verify(t: pa.Table) -> pa.Table:
+        sids, ssh = ray.get(ref2)
+        a = np.asarray(t.column("doc_a").to_numpy(zero_copy_only=False))
+        b = np.asarray(t.column("doc_b").to_numpy(zero_copy_only=False))
+        if len(a) == 0 or len(sids) == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        # vectorized lookup by sorted-id searchsorted (no per-pair dict hits)
+        ia = np.searchsorted(sids, a).clip(0, len(sids) - 1)
+        ib = np.searchsorted(sids, b).clip(0, len(sids) - 1)
+        present = (sids[ia] == a) & (sids[ib] == b)
+        d = popcount64(ssh[ia] ^ ssh[ib])
+        m = present & (d <= max_hamming)
+        srt = np.lexsort((b[m], a[m]))
+        return pa.table(
+            {
+                "doc_a": pa.array(a[m][srt], pa.int64()),
+                "doc_b": pa.array(b[m][srt], pa.int64()),
+                "hamming": pa.array(d[m][srt], pa.int64()),
+            }
+        )
+
+    return ray.data.from_arrow(_pair_chunks(cand)).map_batches(verify, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------- embeddings: ANN etc.
@@ -339,6 +690,19 @@ def _emb_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, X
 
 
+def _take_vectors(embeddings: ray.data.Dataset, pred_max_id: int) -> tuple[np.ndarray, np.ndarray]:
+    """Collect the (small) query-vector set with a vectorized batch filter —
+    no per-row Python lambda."""
+
+    def grab(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column("vec_id"), pa.scalar(pred_max_id)))
+
+    rows = embeddings.map_batches(grab, batch_format="pyarrow").take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, Q
+
+
 def ann_topk(
     embeddings: ray.data.Dataset,
     n_queries: int = 8,
@@ -347,18 +711,14 @@ def ann_topk(
     """Brute-force cosine top-k: the query matrix (vec_id < n_queries) is broadcast
     once via ray.put; every batch computes its partial top-k by matmul; a final
     single-block reduce merges partials. Scale path: per-batch partials keep the
-    shuffle at (n_queries × k × n_batches) rows regardless of corpus size; an
+    shuffle at (n_queries x k x n_batches) rows regardless of corpus size; an
     IVF/LSH-bucketed variant narrows the scanned set per query."""
-    import ray as _ray
-
-    q_rows = embeddings.filter(lambda r: r["vec_id"] < n_queries).take_all()
-    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_ids, Q = _take_vectors(embeddings, n_queries)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    ref = _ray.put((q_ids, Qn))
+    ref = ray.put((q_ids, Qn))
 
     def partial(t: pa.Table) -> pa.Table:
-        qi, Qm = _ray.get(ref)
+        qi, Qm = ray.get(ref)
         ids, X = _emb_matrix(t)
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
         S = Qm @ Xn.T  # (q, n)
@@ -414,24 +774,20 @@ def ann_topk_lsh(
     scores vectors whose bucket is within ``max_probe_hamming`` bits of its own
     (multi-probe). The probe mask is applied INSIDE each batch against the
     broadcast query buckets — candidate pruning with no shuffle; per-batch partial
-    top-k rows (≤ queries × k per batch) reduce at the root as in ``ann_topk``.
+    top-k rows (<= queries x k per batch) reduce at the root as in ``ann_topk``.
     Approximate by construction; recall is tested against the brute-force baseline."""
-    import ray as _ray
-
     rng = np.random.default_rng(20240817)
-    q_rows = embeddings.filter(lambda r: r["vec_id"] < n_queries).take_all()
-    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_ids, Q = _take_vectors(embeddings, n_queries)
     dim = Q.shape[1]
     planes = rng.normal(size=(dim, n_planes))
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
     q_buckets = ((Qn @ planes) > 0).astype(np.uint64) @ (
         np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
     )
-    ref = _ray.put((q_ids, Qn, q_buckets, planes))
+    ref = ray.put((q_ids, Qn, q_buckets, planes))
 
     def partial(t: pa.Table) -> pa.Table:
-        qi, Qm, qb, P = _ray.get(ref)
+        qi, Qm, qb, P = ray.get(ref)
         ids, X = _emb_matrix(t)
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
         xb = ((Xn @ P) > 0).astype(np.uint64) @ (
@@ -439,9 +795,7 @@ def ann_topk_lsh(
         )
         rows = {"query_id": [], "neighbor_id": [], "score": []}
         for qrow, qid in enumerate(qi):
-            ham = np.bitwise_count((xb ^ qb[qrow]).astype(np.uint64)) if hasattr(
-                np, "bitwise_count"
-            ) else np.array([bin(int(x)).count("1") for x in (xb ^ qb[qrow])])
+            ham = popcount64(xb ^ qb[qrow])
             cand = np.flatnonzero(ham <= max_probe_hamming)
             if len(cand) == 0:
                 continue
@@ -544,24 +898,149 @@ def embedding_centroids(embeddings: ray.data.Dataset, round_to: int = 4) -> ray.
     )
 
 
+# ----------------------------------------------------- embeddings: near-dup (cosine)
+
+EMB_BANDS = 32
+EMB_BITS = 8
+
+
+def _emb_planes(dim: int) -> np.ndarray:
+    """Seeded hyperplanes for the banded sign-LSH (EMB_BANDS bands x EMB_BITS
+    planes). A pair with cosine >= 0.92 (angle <= 23 deg) shares a given band's
+    full sign byte with p ~= (1 - theta/pi)^8 ~= 0.34; across 32 independent
+    bands the miss probability is (1-p)^32 ~= 2e-6 — effectively exhaustive
+    while scanning ~0.4% random collisions per band."""
+    rng = np.random.default_rng(20240817)
+    return rng.normal(size=(dim, EMB_BANDS * EMB_BITS))
+
+
+def embedding_band_batch(t: pa.Table, planes: np.ndarray) -> pa.Table:
+    ids, X = _emb_matrix(t)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    signs = (Xn @ planes) > 0  # (n, bands*bits)
+    bits = signs.reshape(len(ids), EMB_BANDS, EMB_BITS).astype(np.uint64)
+    keys = (bits << np.arange(EMB_BITS, dtype=np.uint64)[None, None, :]).sum(axis=2)
+    out_ids = np.repeat(ids, EMB_BANDS)
+    out_band = np.tile(np.arange(EMB_BANDS, dtype=np.int32), len(ids))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "band": pa.array(out_band),
+            "key": pa.array(keys.reshape(-1).astype(np.int64)).cast(pa.string()),
+        }
+    )
+
+
+def embedding_near_dup_lsh(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.92,
+    candidates: str = "local",
+    max_bucket: int = 1024,
+    max_candidates: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-dup pairs, LSH-banded (the scale path): sign-bucket
+    each vector under EMB_BANDS seeded hyperplane bands, extract bucket-collision
+    candidates, then verify exact cosine via a candidate-id map-side join. The
+    corpus matrix is never materialized on the driver."""
+    # dim probe from one batch (schema-level; cheap)
+    first = embeddings.limit(1).take_all()
+    dim = len(first[0]["embedding"]) if first else 0
+    planes = _emb_planes(dim) if dim else np.zeros((0, EMB_BANDS * EMB_BITS))
+    pref = ray.put(planes)
+
+    def bands(t: pa.Table) -> pa.Table:
+        return embedding_band_batch(t, ray.get(pref))
+
+    sig = embeddings.map_batches(bands, batch_format="pyarrow")
+    if candidates == "groupby":
+        cand = _candidate_pairs_groupby(sig, max_bucket)
+    else:
+        cand = _candidate_pairs_local(sig, max_bucket)
+    if cand.num_rows > max_candidates:
+        raise RuntimeError(
+            f"{cand.num_rows} candidate pairs exceed max_candidates={max_candidates}"
+        )
+
+    ids_needed = (
+        np.unique(
+            np.concatenate(
+                [
+                    np.asarray(cand.column("doc_a").to_numpy(zero_copy_only=False)),
+                    np.asarray(cand.column("doc_b").to_numpy(zero_copy_only=False)),
+                ]
+            )
+        )
+        if cand.num_rows
+        else np.empty(0, np.int64)
+    )
+    ref = ray.put(ids_needed)
+
+    def extract(t: pa.Table) -> pa.Table:
+        needed = ray.get(ref)
+        ids = np.asarray(t.column("vec_id").to_numpy(zero_copy_only=False))
+        m = np.isin(ids, needed)
+        if not m.any():
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "embedding": pa.array([], pa.list_(pa.float64()))}
+            )
+        sub = t.filter(pa.array(m))
+        sids, X = _emb_matrix(sub)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        return pa.table(
+            {
+                "vec_id": pa.array(sids, pa.int64()),
+                "embedding": pa.array([r for r in Xn], pa.list_(pa.float64())),
+            }
+        )
+
+    rows = embeddings.map_batches(extract, batch_format="pyarrow").take_all()  # candidate-sized
+    vids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    V = (
+        np.array([r["embedding"] for r in rows], dtype=np.float64)
+        if rows
+        else np.zeros((0, dim))
+    )
+    srt = np.argsort(vids)
+    vref = ray.put((vids[srt], V[srt]))
+
+    def verify(t: pa.Table) -> pa.Table:
+        sids, VM = ray.get(vref)
+        a = np.asarray(t.column("doc_a").to_numpy(zero_copy_only=False))
+        b = np.asarray(t.column("doc_b").to_numpy(zero_copy_only=False))
+        if len(a) == 0 or len(sids) == 0:
+            return pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())})
+        ia = np.searchsorted(sids, a).clip(0, len(sids) - 1)
+        ib = np.searchsorted(sids, b).clip(0, len(sids) - 1)
+        present = (sids[ia] == a) & (sids[ib] == b)
+        cos = (VM[ia] * VM[ib]).sum(axis=1)  # rows are pre-normalized
+        m = present & (cos >= threshold)
+        order = np.lexsort((b[m], a[m]))
+        return pa.table(
+            {
+                "vec_a": pa.array(a[m][order], pa.int64()),
+                "vec_b": pa.array(b[m][order], pa.int64()),
+            }
+        )
+
+    return ray.data.from_arrow(_pair_chunks(cand)).map_batches(verify, batch_format="pyarrow")
+
+
 def embedding_near_dup_pairs(
     embeddings: ray.data.Dataset, threshold: float = 0.92
 ) -> ray.data.Dataset:
-    """Embedding-cosine near-dup pairs: broadcast the (normalized) corpus matrix —
-    small here; at scale LSH-bucket by random hyperplane signs first — and scan
-    batches against it with one matmul per batch."""
-    import ray as _ray
-
+    """Brute-force embedding-cosine near-dup pairs (test baseline for the LSH
+    path): per-batch matmul against a broadcast corpus matrix. O(n^2) scan and a
+    corpus-sized broadcast — use ``embedding_near_dup_lsh`` beyond test scale."""
     rows = embeddings.select_columns(["vec_id", "embedding"]).take_all()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     X = np.array([r["embedding"] for r in rows], dtype=np.float64)
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
-    ref = _ray.put((ids, Xn))
+    ref = ray.put((ids, Xn))
 
     def scan(t: pa.Table) -> pa.Table:
         cid, C = _emb_matrix(t)
         Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
-        aid, A = _ray.get(ref)
+        aid, A = ray.get(ref)
         S = Cn @ A.T
         ii, jj = np.nonzero(S >= threshold)
         a = cid[ii]

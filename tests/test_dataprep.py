@@ -192,3 +192,62 @@ def test_frame_sample_stage(ray_session):
     # frame payloads are distinct and deterministic
     sub = out[out["media_id"] == 3].sort_values("frame")
     assert len({bytes(p) for p in sub["payload"]}) == 4
+
+
+def test_rolling_hash_matches_naive():
+    from scala_timeseries_lib_ray.pipelines.dataprep import (
+        FP_BASE,
+        FP_MOD,
+        _rolling_hash_batch,
+    )
+
+    bufs = [b"", b"a", b"hello world", bytes(range(256)) * 5]
+    got = _rolling_hash_batch(bufs)
+    for buf, g in zip(bufs, got):
+        h = 0
+        for byte in buf:
+            h = (h * FP_BASE + byte) % FP_MOD
+        assert int(g) == h, buf
+
+
+def test_embedding_lsh_matches_bruteforce(ray_session):
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.dataprep import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(120, 16))
+    for i in range(6):  # planted near-dups well above threshold
+        X[100 + i] = X[i] + rng.normal(scale=1e-3, size=16)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(120), pa.int64()),
+            "embedding": pa.array([r for r in X.astype(np.float32)], pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(120, dtype=np.int32)),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    brute = embedding_near_dup_pairs(ds, threshold=0.98).to_pandas()
+    lsh = embedding_near_dup_lsh(ds, threshold=0.98).to_pandas()
+    bset = set(zip(brute["vec_a"], brute["vec_b"]))
+    lset = set(zip(lsh["vec_a"], lsh["vec_b"]))
+    assert bset == lset, f"brute-vs-lsh mismatch: {bset ^ lset}"
+    for i in range(6):
+        assert (i, 100 + i) in lset
+
+
+def test_simhash_segment_guarantee(docs_ds):
+    # n_segments derives from max_hamming: pairs at distance <= max_hamming are
+    # guaranteed candidates (ADVICE r01: the old fixed-4-segment default broke
+    # this contract above hamming 3)
+    from scala_timeseries_lib_ray.pipelines.dataprep import simhash_near_pairs
+
+    p3 = simhash_near_pairs(docs_ds, max_hamming=3).to_pandas()
+    p7 = simhash_near_pairs(docs_ds, max_hamming=7).to_pandas()
+    s3 = set(zip(p3["doc_a"], p3["doc_b"]))
+    s7 = set(zip(p7["doc_a"], p7["doc_b"]))
+    assert s3 <= s7  # wider radius only adds pairs
+    assert (0, 200) in s3
