@@ -146,7 +146,7 @@ FROM events WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ms(ts))
 """
 
 
-def _sql_ev_merge(a: str, b: str, merged_value: str, defined: str) -> str:
+def _sql_ev_merge(a: str, b: str, merged_value: str, defined: str, label: str | None = None) -> str:
     """Boundary-union merge sweep in SQL: elementary intervals between all change
     points of the two series, per-interval definedness via interval-stabbing
     subqueries, then islands compression of equal-value contiguous output."""
@@ -177,7 +177,7 @@ c AS (
   FROM m
 ),
 i AS (SELECT *, SUM(brk) OVER (ORDER BY ts) AS island FROM c)
-SELECT '{a}+{b}' AS source, MIN(ts) AS ts, ANY_VALUE(value) AS value,
+SELECT '{label or f"{a}+{b}"}' AS source, MIN(ts) AS ts, ANY_VALUE(value) AS value,
        MAX(t_end) - MIN(ts) AS validity
 FROM i GROUP BY island
 """
@@ -414,25 +414,43 @@ def q_ev_points(sf_dir: str):
     return _ev_points_ds(sf_dir)
 
 
-def q_ev_merge_plus(sf_dir: str):
+def _merge_blocks_canonical(sf_dir: str, a: str, b: str, op_name: str):
+    """Scale-path merge: block-co-partitioned sweep + canonical edge refit —
+    exactly equal to the whole-timeline merge_pair_exact for ops undefined on
+    (None, None) (all OPS entries)."""
     from scala_timeseries_lib_ray.functions.merge import OPS
-    from scala_timeseries_lib_ray.stages.mergestage import merge_pair_exact
+    from scala_timeseries_lib_ray.stages.canonical import refit_canonical
+    from scala_timeseries_lib_ray.stages.mergestage import merge_pair_blocks
 
-    return merge_pair_exact(_ev_points_ds(sf_dir), "click", "view", OPS["plus"])
+    out = merge_pair_blocks(_ev_points_ds(sf_dir), a, b, OPS[op_name])
+    return refit_canonical(out)
+
+
+def q_ev_merge_plus(sf_dir: str):
+    return _merge_blocks_canonical(sf_dir, "click", "view", "plus")
 
 
 def q_ev_fallback(sf_dir: str):
-    from scala_timeseries_lib_ray.functions.merge import OPS
-    from scala_timeseries_lib_ray.stages.mergestage import merge_pair_exact
-
-    return merge_pair_exact(_ev_points_ds(sf_dir), "click", "error", OPS["fallback"])
+    return _merge_blocks_canonical(sf_dir, "click", "error", "fallback")
 
 
 def q_ev_strict_mul(sf_dir: str):
-    from scala_timeseries_lib_ray.functions.merge import OPS
-    from scala_timeseries_lib_ray.stages.mergestage import merge_pair_exact
+    return _merge_blocks_canonical(sf_dir, "click", "purchase", "multiply")
 
-    return merge_pair_exact(_ev_points_ds(sf_dir), "click", "purchase", OPS["multiply"])
+
+def q_ev_minus(sf_dir: str):
+    """nonStrictMinus with a right default of 0 (NumericTimeSeries.scala:37-45):
+    defined wherever the left side is defined — block-safe (undefined on
+    (None, None)), so the scale path is exact."""
+    from scala_timeseries_lib_ray.functions.merge import op_minus
+    from scala_timeseries_lib_ray.stages.canonical import refit_canonical
+    from scala_timeseries_lib_ray.stages.mergestage import merge_pair_blocks
+
+    out = merge_pair_blocks(
+        _ev_points_ds(sf_dir), "click", "purchase", op_minus(r_default=0.0),
+        out_source="click-purchase",
+    )
+    return refit_canonical(out)
 
 
 def q_ev_sample_strict(sf_dir: str):
@@ -908,6 +926,34 @@ SELECT 'click+view' AS source, ts, value,
 FROM runs
 """
 
+SQL_EV_PREPEND = f"""
+WITH pts AS ({_sql_ev_points("raw")}),
+a AS (SELECT ts, value, validity FROM pts WHERE source = 'click'),
+b AS (SELECT ts, value, validity FROM pts WHERE source = 'view'),
+cutt AS (SELECT MAX(ts + validity) AS c FROM b),
+u AS (
+  SELECT GREATEST(a.ts, cutt.c) AS ts, a.value,
+         a.ts + a.validity - GREATEST(a.ts, cutt.c) AS validity
+  FROM a, cutt WHERE a.ts + a.validity > cutt.c
+  UNION ALL SELECT ts, value, validity FROM b
+),
+c AS (
+  SELECT ts, value, validity,
+         CASE WHEN value = LAG(value) OVER w AND ts <= LAG(ts + validity) OVER w
+              THEN 0 ELSE 1 END AS brk
+  FROM u WINDOW w AS (ORDER BY ts)
+),
+i AS (SELECT *, SUM(brk) OVER (ORDER BY ts) AS island FROM c),
+runs AS (
+  SELECT island, MIN(ts) AS ts, ANY_VALUE(value) AS value,
+         arg_max(ts + validity, ts) AS run_end
+  FROM i GROUP BY 1
+)
+SELECT 'view+click' AS source, ts, value,
+       LEAST(run_end, COALESCE(LEAD(ts) OVER (ORDER BY ts), run_end)) - ts AS validity
+FROM runs
+"""
+
 SQL_EV_STRICT_ZIP = f"""
 WITH pts AS ({_sql_ev_points("raw")}),
 sa AS (SELECT ts, value, validity FROM pts WHERE source = 'click'),
@@ -1055,45 +1101,43 @@ def q_doc_domain_setops(sf_dir: str):
 
 
 def q_ev_append(sf_dir: str):
-    from scala_timeseries_lib_ray.functions.splice import append_series
-    from scala_timeseries_lib_ray.stages.mergestage import _merged_table, _series_from_table
+    """Distributed append: scalar pre-pass (b's first ts) + stateless splice map
+    + canonical refit (junction compression) — no grouping anywhere."""
+    from scala_timeseries_lib_ray.stages.canonical import refit_canonical
+    from scala_timeseries_lib_ray.stages.mergestage import append_blocks
 
-    def fn(t: pa.Table) -> pa.Table:
-        a = _series_from_table(t, "click")
-        b = _series_from_table(t, "view")
-        return _merged_table("click+view", append_series(a, b))
+    return refit_canonical(append_blocks(_ev_points_ds(sf_dir), "click", "view"))
 
-    tagged = _ev_points_ds(sf_dir).map_batches(
-        lambda t: t.append_column("_g", pa.array(np.zeros(len(t), dtype=np.int64))),
-        batch_format="pyarrow",
-    )
-    return tagged.groupby("_g").map_groups(
-        lambda t: fn(t.drop_columns(["_g"])), batch_format="pyarrow"
+
+def q_ev_prepend(sf_dir: str):
+    """Distributed prepend: scalar pre-pass (b's last definedUntil) + stateless
+    splice map + canonical refit (TimeSeries.scala:233-246)."""
+    from scala_timeseries_lib_ray.stages.canonical import refit_canonical
+    from scala_timeseries_lib_ray.stages.mergestage import prepend_blocks
+
+    return refit_canonical(
+        prepend_blocks(_ev_points_ds(sf_dir), "click", "view", out_source="view+click")
     )
 
 
 def q_ev_strict_zip(sf_dir: str):
     from scala_timeseries_lib_ray.functions.merge import OPS
-    from scala_timeseries_lib_ray.stages.mergestage import merge_pair_exact
+    from scala_timeseries_lib_ray.stages.canonical import refit_canonical
+    from scala_timeseries_lib_ray.stages.mergestage import merge_pair_blocks
 
-    return merge_pair_exact(_ev_points_ds(sf_dir), "click", "view", OPS["strict_zip"])
+    out = merge_pair_blocks(_ev_points_ds(sf_dir), "click", "view", OPS["strict_zip"])
+    return refit_canonical(out, value_cols=("value_a", "value_b"))
 
 
 def q_ev_merge_nary(sf_dir: str):
-    from scala_timeseries_lib_ray.functions.merge import OPS, merge_sweep
-    from scala_timeseries_lib_ray.stages.mergestage import _merged_table, _series_from_table
+    from scala_timeseries_lib_ray.functions.merge import OPS
+    from scala_timeseries_lib_ray.stages.canonical import refit_canonical
+    from scala_timeseries_lib_ray.stages.mergestage import merge_blocks
 
-    def fn(t: pa.Table) -> pa.Table:
-        series = [_series_from_table(t, s) for s in ("click", "view", "purchase")]
-        return _merged_table("click+view+purchase", merge_sweep(series, OPS["plus_nary"]))
-
-    tagged = _ev_points_ds(sf_dir).map_batches(
-        lambda t: t.append_column("_g", pa.array(np.zeros(len(t), dtype=np.int64))),
-        batch_format="pyarrow",
+    out = merge_blocks(
+        _ev_points_ds(sf_dir), ["click", "view", "purchase"], OPS["plus_nary"]
     )
-    return tagged.groupby("_g").map_groups(
-        lambda t: fn(t.drop_columns(["_g"])), batch_format="pyarrow"
-    )
+    return refit_canonical(out)
 
 
 def _ev_sliding_meanstd(sf_dir: str, agg: str):
@@ -1352,6 +1396,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_retention_1m": q_doc_retention_1m,
         "doc_domain_setops": q_doc_domain_setops,
         "ev_append": q_ev_append,
+        "ev_prepend": q_ev_prepend,
+        "ev_minus": q_ev_minus,
         "ev_strict_zip": q_ev_strict_zip,
         "ev_merge_nary": q_ev_merge_nary,
         "ev_sliding_mean": q_ev_sliding_mean,
@@ -1416,6 +1462,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_retention_1m": _sql_horizon_retention(60000, RET_LO, RET_HI),
         "doc_domain_setops": SQL_DOC_DOMAIN_SETOPS,
         "ev_append": SQL_EV_APPEND,
+        "ev_prepend": SQL_EV_PREPEND,
+        "ev_minus": _sql_ev_merge(
+            "click", "purchase", "va - COALESCE(vb, 0)", "va IS NOT NULL",
+            label="click-purchase",
+        ),
         "ev_strict_zip": SQL_EV_STRICT_ZIP,
         "ev_merge_nary": SQL_EV_MERGE_NARY,
         "ev_sliding_mean": _sql_ev_sliding_meanstd("mean"),

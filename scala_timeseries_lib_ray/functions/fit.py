@@ -40,7 +40,9 @@ def fit_sorted(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Fit entries sorted by (series, ts). Returns (ts, value, validity, keep_index)
     where ``keep_index`` maps each output row to the input row that started its run
-    (use it to gather key columns)."""
+    (use it to gather key columns). ``value`` may be 1-D, or 2-D (n, m) for
+    tuple-valued series (strictZip outputs): a run merges only when ALL value
+    components are equal."""
     n = len(ts)
     ts = np.asarray(ts)
     validity = np.asarray(validity)
@@ -55,6 +57,8 @@ def fit_sorted(
         same = same_seg_pairwise(seg, n)
         with np.errstate(invalid="ignore"):
             eq = value[1:] == value[:-1]
+            if eq.ndim == 2:
+                eq = eq.all(axis=1)
         mergeable = same & eq & (ts[1:] <= end[:-1])
     else:
         mergeable = np.zeros(max(n - 1, 0), dtype=bool)
@@ -82,19 +86,30 @@ def fit_table(
     keys: tuple[str, ...] = ("source",),
     compress: bool = True,
     validate: bool = True,
+    value_cols: tuple[str, ...] = ("value",),
 ) -> pa.Table:
-    """Fit a points table sorted by (*keys, ts). Usable directly in map_batches."""
+    """Fit a points table sorted by (*keys, ts). Usable directly in map_batches.
+    ``value_cols`` lists the value components (several for tuple-valued series —
+    a run merges only when all components are equal)."""
     arrs = table_to_arrays(t)
     seg = seg_ids_from_keys(*(arrs[k] for k in keys)) if keys else None
+    if len(value_cols) == 1:
+        value = arrs[value_cols[0]]
+    else:
+        value = np.column_stack(
+            [np.asarray(t.column(c).to_numpy(zero_copy_only=False)) for c in value_cols]
+        )
     r_ts, r_val, r_validity, keep = fit_sorted(
-        arrs["ts"], arrs["value"], arrs["validity"], seg, compress=compress, validate=validate
+        arrs["ts"], value, arrs["validity"], seg, compress=compress, validate=validate
     )
     cols = {}
     for name in t.column_names:
         if name == "ts":
             cols[name] = pa.array(r_ts, type=pa.int64())
-        elif name == "value":
-            cols[name] = pa.array(r_val, type=t.schema.field("value").type)
+        elif name in value_cols:
+            j = value_cols.index(name)
+            v = r_val if r_val.ndim == 1 else r_val[:, j]
+            cols[name] = pa.array(v, type=t.schema.field(name).type)
         elif name == "validity":
             cols[name] = pa.array(r_validity, type=pa.int64())
         else:

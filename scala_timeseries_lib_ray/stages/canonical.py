@@ -35,8 +35,8 @@ from ..functions.fit import fit_table
 POINT_COLS = ["source", "ts", "value", "validity"]
 
 
-def _sorted_points(t: pa.Table) -> pa.Table:
-    t = t.select(POINT_COLS)
+def _sorted_points(t: pa.Table, value_cols: tuple[str, ...] = ("value",)) -> pa.Table:
+    t = t.select(["source", "ts", *value_cols, "validity"])
     order = pa.compute.sort_indices(
         t, sort_keys=[("source", "ascending"), ("ts", "ascending")]
     )
@@ -46,12 +46,16 @@ def _sorted_points(t: pa.Table) -> pa.Table:
 def refit_canonical(
     points: ray.data.Dataset,
     compress: bool = True,
+    value_cols: tuple[str, ...] = ("value",),
 ) -> ray.data.Dataset:
     """Points (any batch layout, per-series-sorted within batches after sorting)
-    -> canonically fitted points equal to a whole-series fit."""
+    -> canonically fitted points equal to a whole-series fit. ``value_cols``
+    supports tuple-valued series (e.g. strictZip outputs): runs merge only when
+    every component matches."""
 
     def local_fit(t: pa.Table) -> pa.Table:
-        fitted = fit_table(_sorted_points(t), keys=("source",), compress=compress, validate=False)
+        fitted = fit_table(_sorted_points(t, value_cols), keys=("source",),
+                           compress=compress, validate=False, value_cols=value_cols)
         src = np.asarray(fitted.column("source").to_numpy(zero_copy_only=False))
         n = len(src)
         edge = np.zeros(n, dtype=bool)
@@ -71,7 +75,8 @@ def refit_canonical(
         batch_format="pyarrow",
     )
     edges_fitted = edges.repartition(1).map_batches(
-        lambda t: fit_table(_sorted_points(t), keys=("source",), compress=compress, validate=False),
+        lambda t: fit_table(_sorted_points(t, value_cols), keys=("source",),
+                            compress=compress, validate=False, value_cols=value_cols),
         batch_size=None,
         batch_format="pyarrow",
     )

@@ -81,22 +81,32 @@ def merge_pair_exact(
     )
 
 
-def merge_pair_blocks(
+def merge_blocks(
     points: ray.data.Dataset,
-    source_a: str,
-    source_b: str,
+    sources: list[str],
     op: MergeOp,
     out_source: str | None = None,
     block_width: int = 86_400_000,
 ) -> ray.data.Dataset:
-    """Block-co-partitioned merge: split each side's entries at block edges, merge
-    per block. Compression is block-local."""
-    out_source = out_source or f"{source_a}+{source_b}"
+    """N-ary block-co-partitioned merge (the scale path): every side's entries are
+    split at time-block boundaries (the reference's TimeBucketer trick,
+    ``TimeBucketer.scala``), tagged with their block, and merged independently per
+    block — the all-to-all moves each point once, keyed by block_ts, with
+    parallelism = number of blocks regardless of series length.
+
+    Divergences from the global ``merge_pair_exact`` form, both repairable:
+
+    - compression is block-local: run ``canonical.refit_canonical`` on the output
+      to restore exact global compression (O(series x blocks) edge rows);
+    - each per-block sweep covers only that block's local data hull, so an
+      operator defined on (None, None) (e.g. ``op_minus`` with BOTH defaults)
+      would not fill gaps spanning entirely-empty blocks. Every built-in OPS
+      entry is undefined on (None, None), for which this path is exact; for a
+      gap-filling op use ``merge_pair_exact`` (ADVICE r01)."""
+    out_source = out_source or "+".join(sources)
 
     def split_tag(t: pa.Table) -> pa.Table:
-        t = t.filter(
-            pa.compute.is_in(t.column("source"), value_set=pa.array([source_a, source_b]))
-        )
+        t = t.filter(pa.compute.is_in(t.column("source"), value_set=pa.array(sources)))
         ts = np.asarray(t.column("ts").to_numpy(zero_copy_only=False))
         dur = np.asarray(t.column("validity").to_numpy(zero_copy_only=False))
         n_ts, n_dur, b_ts, src_idx = bucket_split_arrays(ts, dur, block_width)
@@ -108,11 +118,114 @@ def merge_pair_blocks(
         return out.append_column("block_ts", pa.array(b_ts, pa.int64()))
 
     def fn(t: pa.Table) -> pa.Table:
-        a = _series_from_table(t, source_a)
-        b = _series_from_table(t, source_b)
-        return _merged_table(out_source, merge_sweep([a, b], op, compress=True))
+        series = [_series_from_table(t, s) for s in sources]
+        return _merged_table(out_source, merge_sweep(series, op, compress=True))
 
     split = points.map_batches(split_tag, batch_format="pyarrow")
     return split.groupby("block_ts").map_groups(
         lambda t: fn(t.drop_columns(["block_ts"])), batch_format="pyarrow"
     )
+
+
+def merge_pair_blocks(
+    points: ray.data.Dataset,
+    source_a: str,
+    source_b: str,
+    op: MergeOp,
+    out_source: str | None = None,
+    block_width: int = 86_400_000,
+) -> ray.data.Dataset:
+    """Binary convenience wrapper over :func:`merge_blocks` (see its caveats)."""
+    return merge_blocks(points, [source_a, source_b], op, out_source, block_width)
+
+
+def append_blocks(
+    points: ray.data.Dataset,
+    source_a: str,
+    source_b: str,
+    out_source: str | None = None,
+) -> ray.data.Dataset:
+    """Distributed append (reference ``TimeSeries.scala:216-231``): everything of
+    ``a`` defined at ``t >= b.first.timestamp`` is overwritten by ``b``.
+
+    Scale shape: one tiny pre-pass finds b's first timestamp (broadcast scalar);
+    the splice itself is then a stateless per-batch map — no grouping at all.
+    Junction compression (equal-value contiguous runs across the cut) is restored
+    by ``refit_canonical`` on the output."""
+    out_source = out_source or f"{source_a}+{source_b}"
+
+    def only(src):
+        return lambda t: t.filter(pa.compute.equal(t.column("source"), src))
+
+    cut = points.map_batches(only(source_b), batch_format="pyarrow").min("ts")
+
+    def splice(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pa.compute.is_in(t.column("source"), value_set=pa.array([source_a, source_b]))
+        )
+        src = np.asarray(t.column("source").to_numpy(zero_copy_only=False))
+        ts = np.asarray(t.column("ts").to_numpy(zero_copy_only=False))
+        dur = np.asarray(t.column("validity").to_numpy(zero_copy_only=False)).copy()
+        is_a = src == source_a
+        keep = ~is_a | (ts < cut)
+        np.minimum(dur, np.where(is_a, cut - ts, np.iinfo(np.int64).max), out=dur)
+        out = pa.table(
+            {
+                "source": pa.array(np.repeat(out_source, int(keep.sum()))),
+                "ts": pa.array(ts[keep], pa.int64()),
+                "value": t.column("value").filter(pa.array(keep)),
+                "validity": pa.array(dur[keep], pa.int64()),
+            }
+        )
+        return out
+
+    return points.map_batches(splice, batch_format="pyarrow")
+
+
+def prepend_blocks(
+    points: ray.data.Dataset,
+    source_a: str,
+    source_b: str,
+    out_source: str | None = None,
+) -> ray.data.Dataset:
+    """Distributed prepend (reference ``TimeSeries.scala:233-246``): everything of
+    ``a`` defined at ``t < b.last.definedUntil`` is overwritten by ``b``. Same
+    scale shape as :func:`append_blocks` (scalar pre-pass + stateless map)."""
+    out_source = out_source or f"{source_b}+{source_a}"
+
+    def ends_of_b(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.equal(t.column("source"), source_b))
+        return pa.table(
+            {
+                "end": pa.compute.add(
+                    pa.compute.cast(t.column("ts"), pa.int64()),
+                    pa.compute.cast(t.column("validity"), pa.int64()),
+                )
+            }
+        )
+
+    cut = points.map_batches(ends_of_b, batch_format="pyarrow").max("end")
+
+    def splice(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pa.compute.is_in(t.column("source"), value_set=pa.array([source_a, source_b]))
+        )
+        src = np.asarray(t.column("source").to_numpy(zero_copy_only=False))
+        ts = np.asarray(t.column("ts").to_numpy(zero_copy_only=False))
+        dur = np.asarray(t.column("validity").to_numpy(zero_copy_only=False))
+        end = ts + dur
+        is_a = src == source_a
+        keep = ~is_a | (end > cut)
+        n_ts = np.where(is_a, np.maximum(ts, cut), ts)
+        n_dur = end - n_ts
+        out = pa.table(
+            {
+                "source": pa.array(np.repeat(out_source, int(keep.sum()))),
+                "ts": pa.array(n_ts[keep], pa.int64()),
+                "value": t.column("value").filter(pa.array(keep)),
+                "validity": pa.array(n_dur[keep], pa.int64()),
+            }
+        )
+        return out
+
+    return points.map_batches(splice, batch_format="pyarrow")
