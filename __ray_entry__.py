@@ -305,21 +305,20 @@ def _read_documents(sf_dir: str):
     import ray.data
 
     return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"],
+        override_num_blocks=16,
     )
 
 
 def _doc_tokens_ds(sf_dir: str, with_tokens: bool = False):
-    """documents -> deterministic token table (dense rank per source needs a groupby —
-    cheap: documents is the small catalog side; the synthetic token table path parses
-    ordinals straight from doc_id with no shuffle)."""
-    from scala_timeseries_lib_ray.sources.tokens import tokens_from_documents
+    """documents -> deterministic token table. Sharded two-pass dense rank
+    (stages/shardedderive.py): a counting pre-pass + broadcast offsets replace the
+    old groupby(source).map_groups whole-series groups, so parallelism is #shards
+    and a hot Zipf source never becomes one unbounded group. (The synthetic token
+    table path needs no pre-pass at all: ordinals parse straight from doc_id.)"""
+    from scala_timeseries_lib_ray.stages.shardedderive import tokens_from_documents_sharded
 
-    docs = _read_documents(sf_dir)
-    return docs.groupby("source").map_groups(
-        lambda t: tokens_from_documents(t, with_tokens=with_tokens),
-        batch_format="pyarrow",
-    )
+    return tokens_from_documents_sharded(_read_documents(sf_dir), with_tokens=with_tokens)
 
 
 def _doc_points_ds(sf_dir: str):
@@ -400,14 +399,18 @@ def q_doc_domain(sf_dir: str):
 
 
 def _ev_points_ds(sf_dir: str, quantize: str | None = None):
+    """events -> points via the sharded derivation (shard-local LEAD + boundary
+    repair, stages/shardedderive.py): the events log is globally ts-sorted, so
+    row-range shards are time ranges and no per-series group ever forms."""
     import ray.data
 
-    from scala_timeseries_lib_ray.sources.events import events_to_points
+    from scala_timeseries_lib_ray.stages.shardedderive import events_to_points_sharded
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
-    return ev.groupby("event_type").map_groups(
-        lambda t: events_to_points(t, quantize), batch_format="pyarrow"
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"],
+        override_num_blocks=16,
     )
+    return events_to_points_sharded(ev, quantize)
 
 
 def q_ev_points(sf_dir: str):

@@ -93,11 +93,13 @@ def write_synth_token_table(path: str, n_docs: int, n_sources: int = 8, seed: in
 
 def parse_ordinal(doc_id_col) -> np.ndarray:
     """Parse the per-source ordinal out of ``doc_id = '<source>-<r:08d>'`` (O(1) per
-    row, no shuffle — 'time-bucket derived from doc_id order')."""
+    row, no shuffle — 'time-bucket derived from doc_id order'). The ordinal is the
+    suffix after the LAST '-', regardless of width: '%08d' grows past 8 digits
+    beyond 10^8 ordinals, so a fixed-width slice would silently truncate at
+    10^12-sequence scale (ADVICE r01)."""
     import pyarrow.compute as pc
 
-    # ordinal is the suffix after the last '-'
-    parts = pc.utf8_slice_codeunits(doc_id_col, start=-8, stop=99)
+    parts = pc.replace_substring_regex(doc_id_col, r"^.*-", "")
     return np.asarray(parts.cast(pa.int64()))
 
 
@@ -123,25 +125,34 @@ def derive_points_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def tokens_from_documents(doc_batch: pa.Table, seed: int = 42, with_tokens: bool = True) -> pa.Table:
+def tokens_from_documents(
+    doc_batch: pa.Table,
+    seed: int = 42,
+    with_tokens: bool = True,
+    rank_offset=None,
+) -> pa.Table:
     """Derive a token table deterministically from the driver's ``documents`` table
     (doc_id:int64, source, n_chars): ``n_tok = 16 + (31*n_chars + 7*doc_id) % 2033``,
-    ``doc_id_str = '<source>-<dense_rank:08d>'`` — requires per-source dense ranks, so
-    callers group by source first (cheap at test scale; the synthetic table path needs
-    no shuffle at all)."""
-    import pyarrow.compute as pc
+    ``doc_id_str = '<source>-<dense_rank:08d>'`` — needs per-source dense ranks:
+    either the caller groups by source first (whole-series groups; test scale), or
+    passes ``rank_offset(source) -> int`` with the count of same-source docs in
+    earlier shards (the sharded two-pass path, stages/shardedderive.py)."""
 
     src = np.asarray(doc_batch.column("source").to_numpy(zero_copy_only=False))
     did = np.asarray(doc_batch.column("doc_id").to_numpy(zero_copy_only=False))
     nch = np.asarray(doc_batch.column("n_chars").to_numpy(zero_copy_only=False))
     order = np.lexsort((did, src))
     src, did, nch = src[order], did[order], nch[order]
-    # dense rank within source (input grouped by source)
+    # dense rank within source (input grouped by source, or shard-local + offset)
     new_src = np.ones(len(src), dtype=bool)
     if len(src) > 1:
         new_src[1:] = src[1:] != src[:-1]
     idx = np.arange(len(src), dtype=np.int64)
     r = idx - np.maximum.accumulate(np.where(new_src, idx, 0))
+    if rank_offset is not None and len(src):
+        starts = np.flatnonzero(new_src)
+        offs = np.asarray([rank_offset(src[i]) for i in starts], dtype=np.int64)
+        r = r + np.repeat(offs, np.diff(np.append(starts, len(src))))
     n_tok = (NTOK_MIN + (31 * nch + 7 * did) % NTOK_MOD).astype(np.int32)
     cols = {
         "doc_id": pa.array([f"{s}-{int(x):08d}" for s, x in zip(src, r)]),

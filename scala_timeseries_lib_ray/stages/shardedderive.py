@@ -1,0 +1,144 @@
+"""Sharded source derivations — no whole-series groups anywhere.
+
+Replaces the ``groupby(source).map_groups`` derivations (parallelism = #series,
+hot Zipf series become one unbounded group) with shard-local kernels plus a tiny
+boundary exchange, the same shape as ``fitstage.fit_shards`` /
+``canonical.refit_canonical``:
+
+- ``events_to_points_sharded``: the events log is globally time-sorted, so Ray's
+  row-range blocks are time ranges. Each shard derives its points locally (the
+  per-series LEAD is exact for interior rows); only each shard's per-series FIRST
+  and LAST rows (O(shards x series)) go through one small repair task that fixes
+  the last-row validities against the next shard's first event. Parallelism =
+  #shards, independent of series count or skew.
+
+- ``tokens_from_documents_sharded``: the documents catalog is globally
+  doc_id-sorted, so per-source dense ranks decompose into (block-local rank) +
+  (count of same-source docs in earlier blocks). One counting pre-pass emits
+  O(blocks x sources) rows; their prefix sums are broadcast and the derivation
+  itself is a stateless map. Two streaming passes, no shuffle.
+
+Both rely on the stated global sort order of the input file (time for events,
+doc_id for documents) — the standard layout contract for an ingest log / catalog.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..sources.events import EVENT_VALIDITY_CAP, events_to_points
+from ..sources.tokens import tokens_from_documents
+
+
+def _series_edges(src: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(is_first, is_last) flags per row for rows sorted by series."""
+    n = len(src)
+    first = np.ones(n, dtype=bool)
+    last = np.ones(n, dtype=bool)
+    if n > 1:
+        first[1:] = src[1:] != src[:-1]
+        last[:-1] = src[1:] != src[:-1]
+    return first, last
+
+
+def events_to_points_sharded(
+    events: ray.data.Dataset, quantize: str | None = None
+) -> ray.data.Dataset:
+    """events (globally ts-sorted file, row-range blocks) -> points, shard-local
+    LEAD + boundary repair. Exactly equals the whole-series groupby derivation."""
+
+    def local(t: pa.Table) -> pa.Table:
+        out = events_to_points(t, quantize)  # sorts (source, ts) within the shard
+        src = np.asarray(out.column("source").to_numpy(zero_copy_only=False))
+        first, last = _series_edges(src)
+        out = out.append_column("_edge", pa.array(first | last))
+        return out.append_column("_last", pa.array(last))
+
+    tagged = events.map_batches(local, batch_size=None, batch_format="pyarrow").materialize()
+    interior = tagged.map_batches(
+        lambda t: t.filter(pc.invert(t.column("_edge"))).drop_columns(["_edge", "_last"]),
+        batch_format="pyarrow",
+    )
+    edges = tagged.map_batches(
+        lambda t: t.filter(t.column("_edge")).drop_columns(["_edge"]),
+        batch_format="pyarrow",
+    )
+
+    def repair(t: pa.Table) -> pa.Table:
+        src = np.asarray(t.column("source").to_numpy(zero_copy_only=False))
+        ts = np.asarray(t.column("ts").to_numpy(zero_copy_only=False))
+        dur = np.asarray(t.column("validity").to_numpy(zero_copy_only=False)).copy()
+        is_last = np.asarray(t.column("_last").to_numpy(zero_copy_only=False))
+        order = np.lexsort((ts, src))
+        src, ts, dur, is_last = src[order], ts[order], dur[order], is_last[order]
+        n = len(src)
+        if n > 1:
+            # successor of a shard-last row in this edge set is the next shard's
+            # first row of the same series (shards are disjoint time ranges)
+            same = src[:-1] == src[1:]
+            gap = np.minimum(ts[1:] - ts[:-1], EVENT_VALIDITY_CAP)
+            fix = is_last[:-1] & same
+            dur[:-1] = np.where(fix, gap, dur[:-1])
+        out = pa.table(
+            {
+                "source": pa.array(src),
+                "ts": pa.array(ts, pa.int64()),
+                "value": pa.array(
+                    np.asarray(t.column("value").to_numpy(zero_copy_only=False))[order],
+                    pa.float64(),
+                ),
+                "validity": pa.array(dur, pa.int64()),
+            }
+        )
+        return out
+
+    repaired = edges.repartition(1).map_batches(
+        repair, batch_size=None, batch_format="pyarrow"
+    )
+    return interior.union(repaired)
+
+
+def tokens_from_documents_sharded(
+    docs: ray.data.Dataset, with_tokens: bool = False, seed: int = 42
+) -> ray.data.Dataset:
+    """documents (globally doc_id-sorted, row-range blocks) -> token table with
+    exact per-source dense ranks, via a counting pre-pass + broadcast offsets."""
+
+    def count(t: pa.Table) -> pa.Table:
+        src = np.asarray(t.column("source").to_numpy(zero_copy_only=False))
+        did = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+        uniq, cnt = np.unique(src, return_counts=True)
+        return pa.table(
+            {
+                "block_min": pa.array(np.full(len(uniq), did.min() if len(did) else 0, np.int64)),
+                "source": pa.array(uniq),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    tiny = docs.map_batches(count, batch_size=None, batch_format="pyarrow").take_all()
+    # offset[(block_min, source)] = same-source docs in blocks with smaller block_min
+    by_src: dict[str, list[tuple[int, int]]] = {}
+    for r in tiny:
+        by_src.setdefault(r["source"], []).append((r["block_min"], r["n"]))
+    offsets: dict[tuple[int, str], int] = {}
+    for s, entries in by_src.items():
+        acc = 0
+        for bmin, n in sorted(entries):
+            offsets[(bmin, s)] = acc
+            acc += n
+    ref = ray.put(offsets)
+
+    def derive(t: pa.Table) -> pa.Table:
+        off = ray.get(ref)
+        did = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+        bmin = int(did.min()) if len(did) else 0
+        out = tokens_from_documents(t, seed=seed, with_tokens=with_tokens,
+                                    rank_offset=lambda s: off.get((bmin, s), 0))
+        return out
+
+    return docs.map_batches(derive, batch_size=None, batch_format="pyarrow")
