@@ -256,6 +256,36 @@ FROM i GROUP BY source, island
 """
 
 
+# closest-mode sampling: the reference's 5-case recursion (TimeSeries.scala:608-643)
+# collapses to one closed-form serve interval per entry:
+#   [max(ts - W, ceil((prev_ts + ts)/2)), max(ceil((ts + next_ts)/2),
+#                                             min(end, next_ts - W)))
+# (last entry serves to its end; W = rate/2, ties at the exact midpoint go to the
+# later entry). The oracle joins the grid against these disjoint intervals.
+SQL_EV_SAMPLE_CLOSEST = f"""
+WITH pts AS ({_sql_ev_points("raw")}),
+dom AS (SELECT source, MIN(ts) AS t0, MAX(ts + validity) AS le FROM pts GROUP BY source),
+e AS (SELECT source, ts, value, ts + validity AS e_end,
+             LAG(ts)  OVER w AS prev_ts, LEAD(ts) OVER w AS next_ts
+      FROM pts WINDOW w AS (PARTITION BY source ORDER BY ts)),
+serve AS (SELECT source AS src, value,
+       GREATEST(ts - 300000, CASE WHEN prev_ts IS NULL THEN ts - 300000
+                                  ELSE (prev_ts + ts + 1) // 2 END) AS lo,
+       CASE WHEN next_ts IS NULL THEN e_end
+            ELSE GREATEST((ts + next_ts + 1) // 2, LEAST(e_end, next_ts - 300000)) END AS hi
+       FROM e),
+grid AS (SELECT source, unnest(generate_series(t0, le - 1, 600000)) AS p FROM dom)
+SELECT g.source, g.p AS ts, s.value, 600000 AS validity
+FROM grid g JOIN serve s ON s.src = g.source AND g.p >= s.lo AND g.p < s.hi
+"""
+
+# the invariant audit's expected result IS a constant: every derived token array
+# must equal its regeneration from doc_id (mismatches = 0) over all documents
+SQL_TOKENS_INVARIANT = """
+SELECT CAST(COUNT(*) AS BIGINT) AS rows, CAST(0 AS BIGINT) AS mismatches
+FROM documents
+"""
+
 SQL_EV_SESSIONS = f"""
 WITH pts AS ({_sql_ev_points("cents")}),
 f AS (
@@ -1336,6 +1366,35 @@ def q_gorilla_blocks(sf_dir: str):
     )
 
 
+GB_FROM = 1_700_000_000_000 + 60_000
+GB_TO = 1_700_000_000_000 + 180_000
+
+SQL_GORILLA_BLOCK_SLICE = f"""
+WITH pts AS ({SQL_DOC_POINTS})
+SELECT source, GREATEST(ts, {GB_FROM}) AS ts, value,
+       LEAST(ts + validity, {GB_TO}) - GREATEST(ts, {GB_FROM}) AS validity
+FROM pts WHERE ts < {GB_TO} AND ts + validity > {GB_FROM}
+"""
+
+
+def q_gorilla_block_slice(sf_dir: str):
+    """Archive round-trip with SELECTIVE decode: points -> 1m Gorilla blocks ->
+    partitioned parquet -> read back pruned by bucket_ts/bucket_end statistics
+    (only blocks overlapping the 2-minute window are decompressed) -> clipped
+    points. Oracle: the points SQL sliced to the same window — proves the pruned
+    read decodes exactly the right blocks (GorillaSuperBlock.scala:21-120)."""
+    import shutil
+    import ray.data
+
+    from scala_timeseries_lib_ray.stages.gorillastage import encode_blocks, read_block_range
+
+    path = f"/tmp/ray_ts_blocks_{abs(hash(sf_dir)) % 10**8}"
+    shutil.rmtree(path, ignore_errors=True)
+    blocks = encode_blocks(_doc_points_ds(sf_dir), block_width=60_000)
+    blocks.write_parquet(path)
+    return read_block_range(path, GB_FROM, GB_TO)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1392,7 +1451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": q_embedding_centroids,
         "media_features": q_media_features,
         "gorilla_roundtrip": q_gorilla_roundtrip,
-        "gorilla_blocks": q_gorilla_blocks,
+        "gorilla_block_slice": q_gorilla_block_slice,
         "doc_slice": q_doc_slice,
         "doc_split_long": q_doc_split_long,
         "doc_map_filter": q_doc_map_filter,
@@ -1459,6 +1518,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": SQL_ANN_TOPK,
         "embedding_centroids": SQL_CENTROIDS,
         "gorilla_roundtrip": SQL_DOC_POINTS,
+        "gorilla_block_slice": SQL_GORILLA_BLOCK_SLICE,
         "doc_slice": SQL_DOC_SLICE,
         "doc_split_long": SQL_DOC_SPLIT_LONG,
         "doc_map_filter": SQL_DOC_MAP_FILTER,
@@ -1474,7 +1534,8 @@ def oracle_sql() -> dict[str, str]:
         "ev_merge_nary": SQL_EV_MERGE_NARY,
         "ev_sliding_mean": _sql_ev_sliding_meanstd("mean"),
         "ev_sliding_std": _sql_ev_sliding_meanstd("std"),
-        # ev_sample_closest / tokens_invariant: rows-only
+        "ev_sample_closest": SQL_EV_SAMPLE_CLOSEST,
+        "tokens_invariant": SQL_TOKENS_INVARIANT,
         # dedup_minhash / dedup_simhash / dedup_embedding / fingerprint_rolling /
         # media_features: non-SQL-expressible (custom hashing / actor stages) ->
         # rows-only driver check; planted-duplicate correctness is pinned in

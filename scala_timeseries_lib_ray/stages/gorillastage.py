@@ -143,6 +143,30 @@ def decode_blocks(blocks: ray.data.Dataset) -> ray.data.Dataset:
     return blocks.map_batches(decode, batch_format="pyarrow")
 
 
+def read_block_range(
+    path: str, t_from: int, t_to: int
+) -> ray.data.Dataset:
+    """Selective decode over a persisted blocks dataset: prune by the block
+    metadata columns at the READ (parquet row-group statistics / predicate
+    pushdown on ``bucket_ts``/``bucket_end``) so only blocks overlapping
+    [t_from, t_to) are ever fetched or decompressed, then clip the decoded
+    points to the exact range.
+
+    This is the reference ``GorillaSuperBlock`` read path — footer index lookup
+    then lazy per-block decode (archive/GorillaSuperBlock.scala:21-120) —
+    re-expressed as parquet-statistics pruning over the blocks table."""
+    import pyarrow.dataset as pads
+
+    from ..functions.trim import slice_table
+
+    flt = (pads.field("bucket_end") > t_from) & (pads.field("bucket_ts") < t_to)
+    blocks = ray.data.read_parquet(path, filter=flt)
+    pts = decode_blocks(blocks)
+    return pts.map_batches(
+        lambda t: slice_table(t, t_from, t_to), batch_format="pyarrow"
+    )
+
+
 class GorillaIngestActor:
     """Stateful actor-pool stage: per-series open blocks, flushed when a batch shows
     the series has crossed a block boundary. Feed it batches in per-series time

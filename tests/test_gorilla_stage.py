@@ -143,3 +143,57 @@ def test_reservoir_merge_weighting_and_determinism():
     b2 = UniformReservoir(size=200, seed=2).update_many(np.full(500, 5.0))
     m2 = a2.merge(b2).snapshot()
     assert m1.as_dict() == m2.as_dict()
+
+
+def test_read_block_range_prunes(ray_session, tmp_path):
+    """Selective decode: the filtered read must fetch only blocks overlapping the
+    range (parquet statistics pruning), and the clipped points must equal an
+    in-memory slice of the full decode."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from scala_timeseries_lib_ray.functions.trim import slice_table
+    from scala_timeseries_lib_ray.stages.gorillastage import (
+        decode_blocks,
+        encode_blocks,
+        read_block_range,
+    )
+
+    n = 5000
+    ts = 1_700_000_000_000 + np.arange(n, dtype=np.int64) * 1000
+    t = pa.table(
+        {
+            "source": pa.array(np.where(np.arange(n) % 2 == 0, "a", "b")),
+            "ts": pa.array(ts, pa.int64()),
+            "value": pa.array((np.arange(n) % 97).astype(np.float64)),
+            "validity": pa.array(np.full(n, 1000, dtype=np.int64)),
+        }
+    )
+    pts = ray.data.from_arrow(t)
+    blocks = encode_blocks(pts, block_width=60_000)
+    path = str(tmp_path / "blocks")
+    blocks.write_parquet(path)
+
+    lo = 1_700_000_000_000 + 120_000
+    hi = lo + 120_000  # 2 one-minute buckets
+    # pruned read touches only overlapping blocks
+    import pyarrow.dataset as pads
+
+    flt = (pads.field("bucket_end") > lo) & (pads.field("bucket_ts") < hi)
+    pruned = ray.data.read_parquet(path, filter=flt)
+    total = ray.data.read_parquet(path).count()
+    touched = pruned.count()
+    assert touched < total / 10, (touched, total)
+    assert touched == 6  # 2 sources x 3 buckets (the unaligned range straddles 3)
+
+    got = read_block_range(path, lo, hi).to_pandas().sort_values(["source", "ts"]).reset_index(drop=True)
+    full = decode_blocks(ray.data.read_parquet(path))
+    want = (
+        full.map_batches(lambda b: slice_table(b, lo, hi), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["source", "ts"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    assert len(got) and (got["ts"] >= lo).all() and ((got["ts"] + got["validity"]) <= hi).all()
