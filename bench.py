@@ -155,8 +155,11 @@ def run_payload_cascade(ray, sf: float) -> float:
 def run_queries(sf_dir: str) -> dict[str, float]:
     import __ray_entry__ as entrymod
 
+    all_q = dict(entrymod.queries())
+    if hasattr(entrymod, "extra_queries"):  # bench-only kernel variants
+        all_q.update(entrymod.extra_queries())
     out = {}
-    for name, fn in sorted(entrymod.queries().items()):
+    for name, fn in sorted(all_q.items()):
         t0 = time.time()
         r = fn(sf_dir)
         if hasattr(r, "to_pandas"):

@@ -41,7 +41,10 @@ from __future__ import annotations
 
 import numpy as np
 
-MAX_FIRST_OFFSET = (1 << 27) - 1  # TimestampValidator.MaxGapToBlock
+# TimestampValidator.MaxGapToBlock = (2^27-1)-1 with firstEntryTs < blockTs + MaxGapToBlock:
+# the reference rejects first_off = 2^27-2, so the exclusive bound is (1<<27)-2
+# (ADVICE r01 parity fix; the bitstream itself still encodes 27 unsigned bits)
+MAX_FIRST_OFFSET = (1 << 27) - 2
 MAX_GAP = (1 << 31) - 1  # TimestampValidator.MaxGap (Int.MaxValue)
 
 _U64 = np.uint64

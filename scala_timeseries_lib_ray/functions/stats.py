@@ -97,8 +97,11 @@ class UniformReservoir:
         return self
 
     def merge(self, other: "UniformReservoir") -> "UniformReservoir":
-        """Weighted merge: each output slot comes from self with probability
-        count_self / (count_self + count_other)."""
+        """Standard without-replacement reservoir merge (ADVICE r01): the number
+        of output slots drawn from self follows a hypergeometric law on the
+        underlying stream counts, and each side contributes DISTINCT indices —
+        no duplicate slots, so repeated tree merges stay (approximately) uniform
+        without compounding variance."""
         if other.count == 0:
             return self
         if self.count == 0:
@@ -107,12 +110,13 @@ class UniformReservoir:
             self.min, self.max = other.min, other.max
             return self
         n_a, n_b = min(self.count, self.size), min(other.count, other.size)
-        p_a = self.count / (self.count + other.count)
         out_n = min(self.size, n_a + n_b)
-        pick_a = self.rng.random(out_n) < p_a
-        ia = self.rng.integers(0, n_a, out_n)
-        ib = self.rng.integers(0, n_b, out_n)
-        merged = np.where(pick_a, self.values[ia], other.values[:n_b][ib])
+        k_a = int(self.rng.hypergeometric(self.count, other.count, out_n))
+        k_a = min(max(k_a, out_n - n_b), n_a)  # clip to available slots per side
+        ia = self.rng.choice(n_a, size=k_a, replace=False)
+        ib = self.rng.choice(n_b, size=out_n - k_a, replace=False)
+        merged = np.concatenate([self.values[ia], other.values[:n_b][ib]])
+        self.rng.shuffle(merged)  # slot order must not encode the source side
         self.values[:out_n] = merged
         self.count = self.count + other.count
         self.min = min(self.min, other.min)

@@ -101,8 +101,11 @@ def main():
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    qs = dict(entrymod.queries())
+    oracles = dict(entrymod.oracle_sql())
+    if hasattr(entrymod, "extra_queries"):  # bench-only extras: still checked here
+        qs.update(entrymod.extra_queries())
+        oracles.update(entrymod.extra_oracle_sql())
     names = args.only.split(",") if args.only else sorted(qs)
     failures = 0
     for name in names:
