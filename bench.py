@@ -180,7 +180,8 @@ def main() -> None:
         results = {}
         for ncpu in (lo_n, hi_n):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                       RAY_TS_BENCH_DOCS=str(scale_docs), RAY_TS_QUERIES="0")
+                       RAY_TS_BENCH_DOCS=str(scale_docs), RAY_TS_QUERIES="0",
+                       RAY_TS_MIN_OF=os.environ.get("RAY_TS_MIN_OF", "3"))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,
@@ -235,12 +236,27 @@ def main() -> None:
 
     sf = sf_of(SF_DIR)
     path, n_docs = ensure_bench_table(sf)
+
+    if os.environ.get("RAY_TS_PREFAULT", "1") == "1":
+        # pre-fault worker arenas: spawn every worker up front and make each touch
+        # a large scratch once, so the timed legs reuse already-faulted pages
+        # instead of paying the VM's serialized first-touch path (NEXT.md r01 #1)
+        @ray.remote(num_cpus=1)
+        def _touch(mb: int = 1024) -> int:
+            import numpy as _np
+
+            a = _np.empty(mb * 1024 * 1024 // 8, dtype=_np.float64)
+            a[:: 4096 // 8] = 1.0  # one write per page
+            return int(a[0])
+
+        ray.get([_touch.remote() for _ in range(NCPU)])
+
     # warm the page cache so we measure compute + shuffle, not first disk read
     run_headline(ray, path) if os.environ.get("RAY_TS_WARM", "1") == "1" else None
     sec, n_points = run_headline(ray, path)
     # host-side page-fault state makes single runs noisy (+/-2x observed on this VM):
-    # take the best of two timed runs
-    if os.environ.get("RAY_TS_MIN_OF", "2") == "2":
+    # take the best of RAY_TS_MIN_OF timed runs (scaling legs use 3)
+    for _ in range(max(int(os.environ.get("RAY_TS_MIN_OF", "2")) - 1, 0)):
         sec2, _ = run_headline(ray, path)
         sec = min(sec, sec2)
 
