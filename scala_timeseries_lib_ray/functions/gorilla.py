@@ -80,7 +80,8 @@ def _unzigzag(z: int) -> int:
 
 def _pack_fields(fields: list[int], lengths: list[int]) -> bytes:
     """Concatenate (value, nbits) fields MSB-first into bytes via tree reduction
-    (O(total_bits · log n / 64) big-int word ops — C speed)."""
+    (O(total_bits · log n / 64) big-int word ops — C speed). Retained for tests /
+    small headers; the hot path uses :func:`pack_bits` below."""
     items = list(zip(fields, lengths))
     if not items:
         return b""
@@ -95,6 +96,38 @@ def _pack_fields(fields: list[int], lengths: list[int]) -> bytes:
     v, n = items[0]
     pad = (-n) % 8
     return ((v << pad)).to_bytes((n + pad) // 8, "big")
+
+
+def pack_bits(values: np.ndarray, nbits: np.ndarray) -> bytes:
+    """Fully vectorized MSB-first bit packing: each field i contributes the low
+    ``nbits[i]`` bits of ``values[i]`` (uint64, so every subfield is <= 64 bits).
+
+    Each field is left-shifted to end on a byte boundary (<= 71 significant
+    bits: 1 overflow byte + 8 value bytes), decomposed into its 9-byte window,
+    and all windows are summed into the output with one np.bincount — bits never
+    overlap within a byte, so byte-wise addition is exact. O(m x 9) work."""
+    values = np.ascontiguousarray(values, dtype=np.uint64)
+    nbits = np.asarray(nbits, dtype=np.int64)
+    total = int(nbits.sum())
+    if total == 0:
+        return b""
+    end_bit = np.cumsum(nbits)
+    shift = ((8 - (end_bit & 7)) & 7).astype(np.uint64)
+    hi = np.where(shift > 0, values >> (np.uint64(64) - shift), np.uint64(0))
+    lo = values << shift
+    end_byte = (end_bit + shift.astype(np.int64)) >> 3
+    n_out = (total + 7) >> 3
+    # 9-byte big-endian window [hi, lo_7, .., lo_0] ending at end_byte; leading
+    # bytes beyond the field's extent are zero. Positions are padded by +8 so the
+    # earliest window never goes negative.
+    k = np.arange(9, dtype=np.int64)
+    B = np.empty((len(values), 9), dtype=np.float64)
+    B[:, 0] = hi
+    for j in range(8):
+        B[:, 1 + j] = (lo >> np.uint64(8 * (7 - j))) & np.uint64(0xFF)
+    pos = (end_byte[:, None] - 9 + k[None, :]) + 8
+    out = np.bincount(pos.reshape(-1), weights=B.reshape(-1), minlength=n_out + 8)
+    return out[8 : n_out + 8].astype(np.uint8).tobytes()
 
 
 def compress_payloads(ts: np.ndarray, payload: np.ndarray, block_ts: int | None = None) -> bytes:
@@ -123,51 +156,48 @@ def compress_payloads(ts: np.ndarray, payload: np.ndarray, block_ts: int | None 
         if (gaps >= MAX_GAP).any():
             raise ValueError(f"Timestamps cannot have a difference larger than {MAX_GAP}.")
 
-    fields: list[int] = [n, block_ts & 0xFFFFFFFFFFFFFFFF, first_off, int(payload[0])]
-    lengths: list[int] = [32, 64, 27, 64]
+    # per-point output decomposed into <=64-bit SUBFIELDS so packing stays in
+    # uint64 (np.packbits path, no Python big-int loop):
+    #   [t_prefix (1-4b), t_payload (0|7|9|12|64b zigzag dod),
+    #    v_head (1b same-flag | 12b 1+lz+mbits-1), v_payload (0|mbits XOR bits)]
+    head_vals = np.array(
+        [n, block_ts & 0xFFFFFFFFFFFFFFFF, first_off, int(payload[0])], dtype=np.uint64
+    )
+    head_bits = np.array([32, 64, 27, 64], dtype=np.int64)
+    if n == 1:
+        return pack_bits(head_vals, head_bits)
 
-    if n > 1:
-        delta = np.diff(ts)
-        prev_delta = np.concatenate([[first_off], delta[:-1]])
-        dod = delta - prev_delta
-        zz = _zigzag(dod)
-        # ts field: prefix + payload composed as one integer per point
-        t_field = np.empty(n - 1, dtype=object)
-        t_len = np.empty(n - 1, dtype=np.int64)
-        zero = dod == 0
-        b7 = ~zero & (zz < (1 << 7))
-        b9 = ~zero & ~b7 & (zz < (1 << 9))
-        b12 = ~zero & ~b7 & ~b9 & (zz < (1 << 12))
-        b64 = ~zero & ~b7 & ~b9 & ~b12
-        t_len[zero] = 1
-        t_len[b7] = 2 + 7
-        t_len[b9] = 3 + 9
-        t_len[b12] = 4 + 12
-        t_len[b64] = 4 + 64
-        zzi = zz.astype(object)
-        t_field[zero] = 0
-        t_field[b7] = (0b10 << 7) + zzi[b7]
-        t_field[b9] = (0b110 << 9) + zzi[b9]
-        t_field[b12] = (0b1110 << 12) + zzi[b12]
-        t_field[b64] = (0b1111 << 64) + zzi[b64]
+    delta = np.diff(ts)
+    prev_delta = np.concatenate([[first_off], delta[:-1]])
+    dod = delta - prev_delta
+    zz = _zigzag(dod)
+    zero = dod == 0
+    b7 = ~zero & (zz < (1 << 7))
+    b9 = ~zero & ~b7 & (zz < (1 << 9))
+    b12 = ~zero & ~b7 & ~b9 & (zz < (1 << 12))
+    b64 = ~zero & ~b7 & ~b9 & ~b12
+    t_pre_val = np.select([zero, b7, b9, b12], [0, 0b10, 0b110, 0b1110], 0b1111).astype(_U64)
+    t_pre_len = np.select([zero, b7, b9, b12], [1, 2, 3, 4], 4).astype(np.int64)
+    t_pay_len = np.select([zero, b7, b9, b12], [0, 7, 9, 12], 64).astype(np.int64)
+    t_pay_val = np.where(zero, _U64(0), zz)
 
-        x = payload[1:] ^ payload[:-1]
-        nz = x != 0
-        lz = np.minimum(np.where(nz, _clz64(x), 0), 31)
-        tz = np.where(nz, _ctz64(x), 0)
-        mbits = np.where(nz, 64 - lz - tz, 1)
-        v_len = np.where(nz, 1 + 5 + 6 + mbits, 1)
-        xi = (x >> tz.astype(_U64)).astype(object)
-        mbits_obj = mbits.astype(object)  # python ints: 1 << 64 must not overflow int64
-        v_field = np.where(
-            nz,
-            (((1 << 5) + lz.astype(object)) * (1 << 6) + (mbits_obj - 1)) * (1 << mbits_obj) + xi,
-            0,
-        )
-        for tf, tl, vf, vl in zip(t_field, t_len, v_field, v_len):
-            fields.append((int(tf) << int(vl)) | int(vf))
-            lengths.append(int(tl) + int(vl))
-    return _pack_fields(fields, lengths)
+    x = payload[1:] ^ payload[:-1]
+    nz = x != 0
+    lz = np.minimum(np.where(nz, _clz64(x), 0), 31)
+    tz = np.where(nz, _ctz64(x), 0)
+    mbits = np.where(nz, 64 - lz - tz, 1)
+    v_head_val = np.where(
+        nz, (_U64(1) << _U64(11)) | (lz.astype(_U64) << _U64(6)) | (mbits - 1).astype(_U64), _U64(0)
+    )
+    v_head_len = np.where(nz, 12, 1).astype(np.int64)
+    v_pay_val = np.where(nz, x >> tz.astype(_U64), _U64(0))
+    v_pay_len = np.where(nz, mbits, 0).astype(np.int64)
+
+    vals = np.column_stack([t_pre_val, t_pay_val, v_head_val, v_pay_val]).reshape(-1)
+    bits = np.column_stack([t_pre_len, t_pay_len, v_head_len, v_pay_len]).reshape(-1)
+    return pack_bits(
+        np.concatenate([head_vals, vals]), np.concatenate([head_bits, bits])
+    )
 
 
 class _BitReader:
