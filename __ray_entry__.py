@@ -415,17 +415,11 @@ def q_doc_gapfill_1m_lkv(sf_dir: str):
 
 
 def q_doc_domain(sf_dir: str):
-    from scala_timeseries_lib_ray.functions.domain import domain_table
+    """Distributed domain/supportRatio: per-batch partials + a groupby over
+    O(blocks x series) partial rows only (no whole-series groups)."""
+    from scala_timeseries_lib_ray.stages.seriesops import domain_stage
 
-    def per_series(t: pa.Table) -> pa.Table:
-        order = pa.compute.sort_indices(
-            t, sort_keys=[("source", "ascending"), ("ts", "ascending")]
-        )
-        return domain_table(t.take(order))
-
-    return _doc_points_ds(sf_dir).groupby("source").map_groups(
-        per_series, batch_format="pyarrow"
-    )
+    return domain_stage(_doc_points_ds(sf_dir))
 
 
 def _ev_points_ds(sf_dir: str, quantize: str | None = None):

@@ -592,7 +592,9 @@ def simhash_near_pairs(
     if 64 % n_segments != 0:
         raise ValueError("n_segments must divide 64")
     seg_bits = 64 // n_segments
-    hashed = docs.map_batches(simhash_batch, batch_format="pyarrow")
+    # materialized: 16 B/doc, consumed twice (candidate pass + hamming verify) —
+    # caching beats re-running the tokenizer+md5 signature over the corpus
+    hashed = docs.map_batches(simhash_batch, batch_format="pyarrow").materialize()
 
     def explode(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))

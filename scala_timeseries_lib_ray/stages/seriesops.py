@@ -108,3 +108,54 @@ def dynamic_window_stage(points, start_pred, stop_pred, agg: str = "sum"):
         points,
         lambda ts, v, d: dynamic_window(ts, v, d, start_pred(v), stop_pred(v), agg),
     )
+
+
+def domain_stage(points: ray.data.Dataset) -> ray.data.Dataset:
+    """Distributed loose-domain + support ratio: per-batch per-series partials
+    (min start, max end, validity sum — no sort, no whole-series group), then a
+    tiny groupby-of-partials over O(blocks x series) rows and a vectorized
+    finalize. Scale shape: the only exchange moves partial rows, never points."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = np.asarray(t.column("source").to_numpy(zero_copy_only=False))
+        ts = np.asarray(t.column("ts").to_numpy(zero_copy_only=False))
+        dur = np.asarray(t.column("validity").to_numpy(zero_copy_only=False))
+        uniq, inv = np.unique(src, return_inverse=True)
+        k = len(uniq)
+        t0 = np.full(k, np.iinfo(np.int64).max)
+        np.minimum.at(t0, inv, ts)
+        t1 = np.full(k, np.iinfo(np.int64).min)
+        np.maximum.at(t1, inv, ts + dur)
+        d = np.bincount(inv, weights=dur.astype(np.float64), minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "source": pa.array(uniq),
+                "t0": pa.array(t0, pa.int64()),
+                "t1": pa.array(t1, pa.int64()),
+                "d": pa.array(d, pa.int64()),
+            }
+        )
+
+    parts = points.map_batches(partial, batch_format="pyarrow")
+    agg = parts.groupby("source").aggregate(
+        Min("t0", alias_name="domain_start"),
+        Max("t1", alias_name="domain_end"),
+        Sum("d", alias_name="defined_ms"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s = np.asarray(t.column("domain_start").to_numpy(zero_copy_only=False))
+        e = np.asarray(t.column("domain_end").to_numpy(zero_copy_only=False))
+        d = np.asarray(t.column("defined_ms").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "domain_start": pa.array(s, pa.int64()),
+                "domain_end": pa.array(e, pa.int64()),
+                "defined_ms": pa.array(d, pa.int64()),
+                "support_ratio": pa.array(d / np.maximum(e - s, 1), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
