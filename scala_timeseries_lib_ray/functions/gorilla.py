@@ -229,8 +229,145 @@ class _BitReader:
         return out
 
 
+def _extract_bit_fields(buf: np.ndarray, offs: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorized gather of <=64-bit fields at arbitrary BIT offsets from a
+    zero-padded uint8 buffer (MSB-first). 9-byte window per field."""
+    m = len(offs)
+    if m == 0:
+        return np.zeros(0, dtype=_U64)
+    bs = (offs >> 3).astype(np.int64)
+    win = buf[bs[:, None] + np.arange(9)[None, :]].astype(_U64)  # (m, 9)
+    b0 = win[:, 0]
+    u64 = np.zeros(m, dtype=_U64)
+    for k in range(8):
+        u64 |= win[:, 1 + k] << _U64(8 * (7 - k))
+    start = (offs & 7).astype(np.int64)
+    shift = 72 - start - lens
+    lo_sh = np.clip(shift, 0, 63).astype(_U64)
+    hi_left = np.clip(64 - shift, 0, 63).astype(_U64)
+    hi_right = np.clip(shift - 64, 0, 63).astype(_U64)
+    field = np.where(
+        shift >= 64,
+        b0 >> hi_right,
+        (b0 << hi_left) | (u64 >> lo_sh),
+    )
+    mask = np.where(lens >= 64, _U64(0xFFFFFFFFFFFFFFFF), (_U64(1) << lens.astype(_U64)) - _U64(1))
+    return field & mask
+
+
 def decompress_payloads(data: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """Decode a Gorilla array back to (ts:int64, payload:uint64)."""
+    """Decode a Gorilla array back to (ts:int64, payload:uint64).
+
+    Two passes: a sequential CONTROL scan (python-int window peeks — one per ts
+    field, one per value field — recording each payload's bit offset/length),
+    then fully vectorized payload extraction + zigzag/cumsum/XOR-scan
+    reconstruction. ~3x the single-pass bit-reader."""
+    nbits_total = len(data) * 8
+    if len(data) < 8:
+        raise ValueError("The passed byte array is not a valid compressed timeseries.")
+    pad = data + b"\x00" * 24
+    words = np.frombuffer(pad[: (len(pad) // 8) * 8], dtype=">u8").tolist()
+
+    def peek(pos: int, k: int) -> int:
+        wi = pos >> 6
+        sh = pos & 63
+        if sh + k <= 64:  # common case: field inside one word
+            return (words[wi] >> (64 - sh - k)) & ((1 << k) - 1)
+        window = (words[wi] << 64) | words[wi + 1]
+        return (window >> (128 - sh - k)) & ((1 << k) - 1)
+
+    n = peek(0, 32)
+    if n == 0:
+        raise ValueError("The passed byte array is not a valid compressed timeseries.")
+    block_ts = peek(32, 64)
+    if block_ts >= 1 << 63:
+        block_ts -= 1 << 64
+    first_off = peek(96, 27)
+    p0 = _U64(peek(123, 64))
+    pos = 123 + 64
+    m = n - 1
+    # control scan outputs: payload bit offsets/lengths per point;
+    # v_hdr packs (lz<<6)|(mbits-1), -1 = same-value flag
+    to_l = [0] * m
+    tl_l = [0] * m
+    vo_l = [0] * m
+    vh_l = [0] * m
+    w = words
+    for i in range(m):
+        if pos > nbits_total:
+            raise ValueError("The passed byte array is not a valid compressed timeseries.")
+        wi = pos >> 6
+        sh = pos & 63
+        if sh <= 60:
+            c = (w[wi] >> (60 - sh)) & 15
+        else:
+            c = (((w[wi] << 64) | w[wi + 1]) >> (124 - sh)) & 15
+        if c < 8:  # '0...'
+            pos += 1
+        elif c < 12:  # '10' + 7
+            pos += 2
+            to_l[i] = pos
+            tl_l[i] = 7
+            pos += 7
+        elif c < 14:  # '110' + 9
+            pos += 3
+            to_l[i] = pos
+            tl_l[i] = 9
+            pos += 9
+        elif c == 14:  # '1110' + 12
+            pos += 4
+            to_l[i] = pos
+            tl_l[i] = 12
+            pos += 12
+        else:  # '1111' + 64
+            pos += 4
+            to_l[i] = pos
+            tl_l[i] = 64
+            pos += 64
+        wi = pos >> 6
+        sh = pos & 63
+        if sh <= 52:
+            h = (w[wi] >> (52 - sh)) & 4095
+        else:
+            h = (((w[wi] << 64) | w[wi + 1]) >> (116 - sh)) & 4095
+        if h < 2048:  # flag 0: same value
+            pos += 1
+            vh_l[i] = -1
+        else:
+            vh_l[i] = h & 0x7FF
+            pos += 12
+            vo_l[i] = pos
+            pos += (h & 0x3F) + 1  # mbits
+    if pos > nbits_total:
+        raise ValueError("The passed byte array is not a valid compressed timeseries.")
+    t_off = np.array(to_l, dtype=np.int64)
+    t_len = np.array(tl_l, dtype=np.int64)
+    v_off = np.array(vo_l, dtype=np.int64)
+    v_hdr = np.array(vh_l, dtype=np.int64)
+
+    buf = np.frombuffer(pad, dtype=np.uint8)
+    ts = np.empty(n, dtype=np.int64)
+    payload = np.empty(n, dtype=_U64)
+    ts[0] = block_ts + first_off
+    payload[0] = p0
+    if m:
+        zz = _extract_bit_fields(buf, t_off, t_len)  # zero-length fields -> 0 = dod 0
+        zz_masked = np.where(t_len > 0, zz, _U64(0))
+        dod = ((zz_masked >> _U64(1)).astype(np.int64)) ^ -(zz_masked & _U64(1)).astype(np.int64)
+        delta = first_off + np.cumsum(dod)
+        ts[1:] = ts[0] + np.cumsum(delta)
+        changed = v_hdr >= 0
+        mbits = np.where(changed, (v_hdr & 0x3F) + 1, 1).astype(np.int64)
+        lz = np.where(changed, v_hdr >> 6, 0).astype(np.int64)
+        bits = _extract_bit_fields(buf, v_off, np.where(changed, mbits, 0))
+        tz = (64 - lz - mbits).astype(_U64)
+        x = np.where(changed, bits << tz, _U64(0))
+        payload[1:] = p0 ^ np.bitwise_xor.accumulate(x)
+    return ts, payload
+
+
+def _decompress_payloads_seq(data: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Reference single-pass bit-reader decode (kept for parity tests)."""
     r = _BitReader(data)
     n = r.read(32)
     if n == 0 or len(data) < 8:
