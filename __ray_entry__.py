@@ -1353,10 +1353,12 @@ def q_gorilla_roundtrip(sf_dir: str):
 
 
 def q_gorilla_blocks(sf_dir: str):
-    # block inventory (sizes/types); bytes are dropped for the rows-only check
+    # block inventory (sizes/types); bytes are dropped for the rows-only check.
+    # cluster=True consolidates the doc-shard-interleaved sources into exactly
+    # one block per (source, bucket)
     from scala_timeseries_lib_ray.stages.gorillastage import encode_blocks
 
-    blocks = encode_blocks(_doc_points_ds(sf_dir), block_width=86_400_000)
+    blocks = encode_blocks(_doc_points_ds(sf_dir), block_width=86_400_000, cluster=True)
     return blocks.map_batches(
         lambda t: t.append_column(
             "n_bytes", pa.array([len(b) for b in t.column("bytes").to_pylist()], pa.int64())

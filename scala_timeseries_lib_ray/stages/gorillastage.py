@@ -100,11 +100,37 @@ def encode_batch(t: pa.Table, block_width: int) -> pa.Table:
 def encode_blocks(
     fitted: ray.data.Dataset,
     block_width: int = 3_600_000,
+    cluster: bool = False,
 ) -> ray.data.Dataset:
-    """Shard-clustered points -> blocks dataset (no shuffle; each input shard holds
-    whole (source, block) segments when produced by fit_shards/fit_blocks)."""
-    return fitted.map_batches(
-        lambda t: encode_batch(t, block_width), batch_size=None, batch_format="pyarrow"
+    """Points -> blocks dataset.
+
+    ``cluster=False`` (default): no shuffle — each input shard encodes its own
+    (source, block) segments. Exact, but shards that interleave sources (e.g.
+    the doc_id-ordered catalog) emit one block fragment per (shard, source,
+    bucket) instead of one consolidated block per (source, bucket).
+
+    ``cluster=True``: co-locate whole (source, block) segments first with a
+    groupby — the honest cluster-scale exchange (uniform (source, bucket) keys),
+    yielding exactly one block per (source, bucket). Use when the input is not
+    already source-clustered and block count matters (archive compactness)."""
+    if not cluster:
+        return fitted.map_batches(
+            lambda t: encode_batch(t, block_width), batch_size=None, batch_format="pyarrow"
+        )
+
+    def tag(t: pa.Table) -> pa.Table:
+        ts = np.asarray(t.column("ts").to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "block_ts", pa.array((ts // block_width) * block_width, pa.int64())
+        )
+
+    return (
+        fitted.map_batches(tag, batch_format="pyarrow")
+        .groupby(["source", "block_ts"])
+        .map_groups(
+            lambda t: encode_batch(t.drop_columns(["block_ts"]), block_width),
+            batch_format="pyarrow",
+        )
     )
 
 

@@ -197,3 +197,34 @@ def test_read_block_range_prunes(ray_session, tmp_path):
     )
     assert got.equals(want)
     assert len(got) and (got["ts"] >= lo).all() and ((got["ts"] + got["validity"]) <= hi).all()
+
+
+def test_encode_blocks_cluster_consolidates(ray_session):
+    """Source-interleaved shards: cluster=True yields one block per
+    (source, bucket) and decodes to the same points as the fragmented form."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from scala_timeseries_lib_ray.stages.gorillastage import decode_blocks, encode_blocks
+
+    n = 2000
+    ts = 1_700_000_000_000 + np.arange(n, dtype=np.int64) * 1000
+    t = pa.table(
+        {
+            "source": pa.array(np.where(np.arange(n) % 2 == 0, "a", "b")),
+            "ts": pa.array(ts, pa.int64()),
+            "value": pa.array((np.arange(n) % 7).astype(np.float64)),
+            "validity": pa.array(np.full(n, 1000, dtype=np.int64)),
+        }
+    )
+    # 4 interleaved shards -> the no-shuffle form fragments blocks
+    shards = ray.data.from_arrow([t.slice(i, 500) for i in range(0, n, 500)])
+    frag = encode_blocks(shards, block_width=600_000)
+    cons = encode_blocks(shards, block_width=600_000, cluster=True)
+    n_frag, n_cons = frag.count(), cons.count()
+    buckets = 2 * len(np.unique(ts // 600_000))
+    assert n_cons == buckets < n_frag
+    a = decode_blocks(cons).to_pandas().sort_values(["source", "ts"]).reset_index(drop=True)
+    b = decode_blocks(frag).to_pandas().sort_values(["source", "ts"]).reset_index(drop=True)
+    assert a.equals(b)
