@@ -996,9 +996,22 @@ seg AS (
          (SELECT value FROM sa WHERE sa.ts <= s.ts AND s.ts < sa.ts + sa.validity) AS value_a,
          (SELECT value FROM sb WHERE sb.ts <= s.ts AND s.ts < sb.ts + sb.validity) AS value_b
   FROM seg0 s WHERE s.t_end IS NOT NULL
-)
-SELECT 'click+view' AS source, ts, value_a, value_b, t_end - ts AS validity
-FROM seg WHERE value_a IS NOT NULL AND value_b IS NOT NULL
+),
+m AS (SELECT * FROM seg WHERE value_a IS NOT NULL AND value_b IS NOT NULL),
+c AS (
+  SELECT ts, t_end, value_a, value_b,
+         CASE WHEN value_a = LAG(value_a) OVER w AND value_b = LAG(value_b) OVER w
+                   AND ts = LAG(t_end) OVER w
+              THEN 0 ELSE 1 END AS brk
+  FROM m WINDOW w AS (ORDER BY ts)
+),
+i AS (SELECT *, SUM(brk) OVER (ORDER BY ts) AS island FROM c)
+-- tuple runs compress like any merged series (the reference funnels strictZip
+-- through the compressing builder; equal case-class tuples merge)
+SELECT 'click+view' AS source, MIN(ts) AS ts,
+       ANY_VALUE(value_a) AS value_a, ANY_VALUE(value_b) AS value_b,
+       MAX(t_end) - MIN(ts) AS validity
+FROM i GROUP BY island
 """
 
 SQL_EV_MERGE_NARY = f"""

@@ -178,8 +178,16 @@ def merge_sweep(
     m_validity = right[keep] - m_ts
 
     if isinstance(out_val, dict):
-        # multi-column output: no value-compression (tuple equality would be needed);
-        # trim only (entries are disjoint by construction)
+        # multi-column output: a run compresses only when EVERY component matches
+        # (the reference funnels zip through the compressing builder and equal
+        # case-class tuples merge) — fit_sorted handles 2-D values
+        if compress:
+            keys = list(out_val)
+            V = np.column_stack([out_val[k][keep] for k in keys])
+            f_ts, f_val, f_validity, _ = fit_sorted(
+                m_ts, V, m_validity, None, compress=True, validate=False
+            )
+            return f_ts, {k: f_val[:, j] for j, k in enumerate(keys)}, f_validity
         return m_ts, {k: v[keep] for k, v in out_val.items()}, m_validity
 
     m_val = out_val[keep]

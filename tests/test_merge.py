@@ -136,3 +136,22 @@ def test_associativity_of_nary_plus():
         return merge(x, pair_order[2], OPS["plus"])
 
     assert via((TSA, TSB, c)) == via((TSB, c, TSA)) == via((c, TSA, TSB))
+
+
+def test_strict_zip_tuple_compression():
+    # equal (a, b) tuples across a shared boundary merge into one run; a change
+    # in EITHER component breaks the run (reference: zip rides the compressing
+    # builder, equal case-class tuples merge)
+    import numpy as np
+
+    a = (np.array([0, 10, 20]), np.array([1.0, 1.0, 2.0]), np.array([10, 10, 10]))
+    b = (np.array([0, 15]), np.array([5.0, 5.0]), np.array([15, 15]))
+    ts, vals, dur = merge_sweep([a, b], OPS["strict_zip"], compress=True)
+    # elementary intervals 0-10-15-20-30 collapse to 0-20 (tuple (1,5)) + 20-30 (2,5)
+    assert ts.tolist() == [0, 20]
+    assert vals["value_a"].tolist() == [1.0, 2.0]
+    assert vals["value_b"].tolist() == [5.0, 5.0]
+    assert dur.tolist() == [20, 10]
+    # uncompressed form keeps the elementary intervals
+    ts_u, vals_u, _ = merge_sweep([a, b], OPS["strict_zip"], compress=False)
+    assert len(ts_u) == 4
