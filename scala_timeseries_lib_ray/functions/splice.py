@@ -41,3 +41,18 @@ def prepend_series(a: Arrays, b: Arrays, compress: bool = True) -> Arrays:
     cut = int(b[0][-1] + b[2][-1])
     a_ts, a_dur, keep = slice_arrays(a[0], a[2], t_from=cut)
     return _concat_fit([b, (a_ts, a[1][keep], a_dur)], compress)
+
+
+def merge_ordered_seqs(a: Arrays, b: Arrays) -> Arrays:
+    """Stable two-way merge of two ts-ordered entry sequences — reference
+    ``TimeSeriesMerger.mergeOrderedSeqs`` (TimeSeriesMerger.scala:136-152):
+    ties keep the left sequence's element first (``o.lteq``). No fitting or
+    compression — this is the raw ordered interleave the reference feeds into
+    ``mergeEntries``. (The reference's ZIO ``StreamMerger`` variant is dead,
+    commented-out code and is intentionally not ported.)"""
+    ts = np.concatenate([a[0], b[0]])
+    val = np.concatenate([a[1], b[1]])
+    dur = np.concatenate([a[2], b[2]])
+    # stable sort with a's rows first in input order == reference tie behavior
+    order = np.argsort(ts, kind="stable")
+    return ts[order], val[order], dur[order]

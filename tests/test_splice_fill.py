@@ -103,3 +103,17 @@ def test_queue_aggregator_udf_median():
         (20, 4.0, 5),
         (25, 3.0, 5),
     ]
+
+
+def test_merge_ordered_seqs_stable_ties():
+    import numpy as np
+
+    from scala_timeseries_lib_ray.functions.splice import merge_ordered_seqs
+
+    a = (np.array([1, 5, 9]), np.array([10.0, 11.0, 12.0]), np.array([1, 1, 1]))
+    b = (np.array([1, 5, 7]), np.array([20.0, 21.0, 22.0]), np.array([2, 2, 2]))
+    ts, val, dur = merge_ordered_seqs(a, b)
+    assert ts.tolist() == [1, 1, 5, 5, 7, 9]
+    # ties: left sequence's element first (TimeSeriesMerger.scala lteq)
+    assert val.tolist() == [10.0, 20.0, 11.0, 21.0, 22.0, 12.0]
+    assert dur.tolist() == [1, 2, 1, 2, 2, 1]
