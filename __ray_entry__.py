@@ -1549,6 +1549,44 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+def q_media_frames(sf_dir: str):
+    """Video frame sampling through the actor-pool flat-map stage (every 4th of
+    16 fake frames; payload plumbing real, decode stubbed)."""
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.multimodal import FrameSampleActor, synth_media_batch
+
+    n = min(_docs_ds(sf_dir, columns=("doc_id",)).count(), 2000)
+    media = ray.data.from_arrow(synth_media_batch(np.arange(n, dtype=np.int64), kind="video"))
+    out = media.map_batches(
+        FrameSampleActor, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    return out.map_batches(
+        lambda t: t.append_column(
+            "n_bytes", pa.array([len(b) for b in t.column("payload").to_pylist()], pa.int64())
+        ).drop_columns(["payload"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_audio_features(sf_dir: str):
+    """Audio featurization through the actor-pool stage (fake-PCM band energies;
+    real decode behind the stub seam)."""
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.multimodal import audio_features, synth_media_batch
+
+    n = min(_docs_ds(sf_dir, columns=("doc_id",)).count(), 2000)
+    media = ray.data.from_arrow(synth_media_batch(np.arange(n, dtype=np.int64), kind="audio"))
+    out = audio_features(media, concurrency=2, batch_size=64)
+    return out.map_batches(
+        lambda t: t.append_column(
+            "band0", pa.compute.list_element(t.column("feature"), 0)
+        ).drop_columns(["feature"]),
+        batch_format="pyarrow",
+    )
+
+
 def extra_queries() -> dict[str, Callable[[str], Any]]:
     """Bench-only variants beyond the driver's 50-row correctness budget
     (CORRECTNESS_r01 recorded exactly the first 50 queries, so queries() is held
@@ -1564,6 +1602,8 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "ev_sliding_mean": q_ev_sliding_mean,
         "fingerprint_rolling": q_fingerprint_rolling,
         "gorilla_blocks": q_gorilla_blocks,
+        "media_frames": q_media_frames,
+        "audio_features": q_audio_features,
     }
 
 

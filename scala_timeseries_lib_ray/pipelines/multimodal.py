@@ -163,3 +163,48 @@ def media_features(media: ray.data.Dataset, concurrency: int = 4, batch_size: in
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class AudioFeatureActor:
+    """Actor-pool audio featurizer: treats the payload body as PCM-ish samples
+    and emits per-band energies (n_bands RMS values over equal sample ranges).
+    Real audio decoding (libsndfile/librosa — not in this container) sits behind
+    the same NotImplementedError seam as the image decoder; the Ray-side
+    plumbing (schema, batching, actor state) is real and tested."""
+
+    def __init__(self, n_bands: int = 8):
+        self.n_bands = n_bands
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, feats = [], []
+        for mid, payload in zip(
+            t.column("media_id").to_pylist(), t.column("payload").to_pylist()
+        ):
+            if not payload.startswith(_MAGIC):
+                raise NotImplementedError(
+                    "real audio decoding is not available in this container; "
+                    "payload is not the deterministic fake format"
+                )
+            body = np.frombuffer(payload[14:], dtype=np.uint8).astype(np.float64)
+            samples = body - 128.0  # fake PCM centering
+            n = (len(samples) // self.n_bands) * self.n_bands
+            bands = samples[:n].reshape(self.n_bands, -1)
+            rms = np.sqrt((bands**2).mean(axis=1))
+            ids.append(mid)
+            feats.append(rms)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "feature": pa.array([f for f in feats], pa.list_(pa.float64())),
+            }
+        )
+
+
+def audio_features(media: ray.data.Dataset, concurrency: int = 4, batch_size: int = 64) -> ray.data.Dataset:
+    return media.map_batches(
+        AudioFeatureActor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -251,3 +251,35 @@ def test_simhash_segment_guarantee(docs_ds):
     s7 = set(zip(p7["doc_a"], p7["doc_b"]))
     assert s3 <= s7  # wider radius only adds pairs
     assert (0, 200) in s3
+
+
+def test_audio_feature_stage(ray_session):
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.multimodal import (
+        AudioFeatureActor,
+        audio_features,
+        synth_media_batch,
+    )
+
+    ds = ray.data.from_arrow(synth_media_batch(np.arange(12, dtype=np.int64), kind="audio"))
+    out = audio_features(ds, concurrency=2, batch_size=4).to_pandas()
+    assert len(out) == 12
+    assert all(len(f) == 8 for f in out["feature"])
+    # deterministic across actors
+    out2 = audio_features(ds, concurrency=2, batch_size=4).to_pandas()
+    a = np.stack(out.sort_values("media_id")["feature"].to_numpy())
+    b = np.stack(out2.sort_values("media_id")["feature"].to_numpy())
+    assert np.array_equal(a, b)
+    # non-fake payloads hit the documented stub seam
+    import pyarrow as pa
+    import pytest as _pytest
+
+    bad = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "payload": pa.array([b"RIFF...."], pa.large_binary()),
+        }
+    )
+    with _pytest.raises(NotImplementedError):
+        AudioFeatureActor()(bad)
