@@ -115,3 +115,47 @@ def test_tokens_sharded_ranks_match_grouped(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_events_sharded_edge_cases(ray_session):
+    import ray.data
+
+    from scala_timeseries_lib_ray.stages.shardedderive import events_to_points_sharded
+
+    # single event: validity = cap
+    t = pa.table(
+        {
+            "event_type": pa.array(["a"]),
+            "ts": pa.array([1_700_000_000_000], pa.int64()),
+            "value": pa.array([1.5], pa.float64()),
+        }
+    )
+    out = events_to_points_sharded(ray.data.from_arrow(t)).to_pandas()
+    assert len(out) == 1 and out.loc[0, "validity"] == 600_000
+
+    # empty input
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "ts": pa.array([], pa.int64()),
+            "value": pa.array([], pa.float64()),
+        }
+    )
+    out2 = events_to_points_sharded(ray.data.from_arrow(empty)).to_pandas()
+    assert len(out2) == 0
+
+
+def test_tokens_sharded_single_block(ray_session):
+    import ray.data
+
+    from scala_timeseries_lib_ray.stages.shardedderive import tokens_from_documents_sharded
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "source": pa.array(["s", "s", "s"]),
+            "n_chars": pa.array([10, 20, 30], pa.int64()),
+        }
+    )
+    out = tokens_from_documents_sharded(ray.data.from_arrow(t)).to_pandas()
+    assert list(out.sort_values("doc_id")["doc_id"]) == ["s-00000000", "s-00000001", "s-00000002"]
