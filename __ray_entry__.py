@@ -1595,7 +1595,8 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
     doc_fit_compress (whole-series fit; canonical shard fit is gated),
     ev_sliding_min / ev_sliding_mean (min/mean reductions of the gated max/std
     sweeps), fingerprint_rolling (vectorized rolling hash next to md5),
-    gorilla_blocks (block inventory next to the gated selective slice)."""
+    gorilla_blocks (consolidated block inventory next to the gated selective
+    slice), media_frames / audio_features (actor-pool multimodal stages)."""
     return {
         "doc_fit_compress": q_doc_fit_compress,
         "ev_sliding_min": q_ev_sliding_min,
