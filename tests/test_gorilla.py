@@ -116,3 +116,48 @@ def test_block_ts_header():
     data = compress_value_block(ts, np.array([1.0, 1.0, 2.0]), block_ts=500)
     r_ts, r_v = decompress_value_block(data)
     assert list(r_ts) == [1000, 2000, 3500]
+
+
+def test_pack_bits_matches_tree_packer():
+    import numpy as np
+
+    from scala_timeseries_lib_ray.functions.gorilla import _pack_fields, pack_bits
+
+    rng = np.random.default_rng(42)
+    for _ in range(100):
+        m = int(rng.integers(1, 50))
+        nb = rng.integers(1, 65, m)
+        vals = [
+            int(rng.integers(0, 1 << 63, dtype=np.uint64)) | (1 << 63)
+            if b == 64 and rng.random() < 0.5
+            else int(rng.integers(0, min(1 << int(b), 1 << 62)))
+            for b in nb
+        ]
+        vals = [v & ((1 << int(b)) - 1) for v, b in zip(vals, nb)]
+        assert _pack_fields(vals, [int(b) for b in nb]) == pack_bits(
+            np.array(vals, dtype=np.uint64), nb
+        )
+
+
+def test_two_pass_decode_matches_sequential():
+    import numpy as np
+
+    from scala_timeseries_lib_ray.functions.gorilla import (
+        _decompress_payloads_seq,
+        compress_value_block,
+        decompress_payloads,
+    )
+
+    rng = np.random.default_rng(7)
+    for kind in range(3):
+        n = int(rng.integers(2, 400))
+        ts = 1_700_000_000_000 + np.cumsum(rng.integers(1, 10_000, n))
+        vals = [
+            np.round(rng.normal(0, 100, n), 2),
+            np.repeat(rng.normal(), n),
+            rng.normal(0, 1e300, n),
+        ][kind]
+        data = compress_value_block(ts, np.asarray(vals), int(ts[0]))
+        t1, p1 = decompress_payloads(data)
+        t2, p2 = _decompress_payloads_seq(data)
+        assert np.array_equal(t1, t2) and np.array_equal(p1, p2)
