@@ -1587,6 +1587,13 @@ def q_audio_features(sf_dir: str):
     )
 
 
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF coarse-quantizer ANN (scale path next to LSH; recall pinned by pytest)."""
+    from scala_timeseries_lib_ray.pipelines.dataprep import ann_topk_ivf
+
+    return ann_topk_ivf(_emb_ds(sf_dir), n_queries=8, k=5)
+
+
 def extra_queries() -> dict[str, Callable[[str], Any]]:
     """Bench-only variants beyond the driver's 50-row correctness budget
     (CORRECTNESS_r01 recorded exactly the first 50 queries, so queries() is held
@@ -1603,6 +1610,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "ev_sliding_mean": q_ev_sliding_mean,
         "fingerprint_rolling": q_fingerprint_rolling,
         "gorilla_blocks": q_gorilla_blocks,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "media_frames": q_media_frames,
         "audio_features": q_audio_features,
     }

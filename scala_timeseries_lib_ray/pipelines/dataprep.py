@@ -1057,3 +1057,104 @@ def embedding_near_dup_pairs(
         )
 
     return embeddings.map_batches(scan, batch_format="pyarrow")
+
+
+def ann_topk_ivf(
+    embeddings: ray.data.Dataset,
+    n_queries: int = 8,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+    iters: int = 8,
+) -> ray.data.Dataset:
+    """IVF ANN — the coarse-quantizer scale path next to ``ann_topk_lsh``.
+
+    A small seeded k-means (Lloyd over a bounded sample, cosine geometry) gives
+    n_clusters centroids; every vector is assigned to its nearest centroid
+    INSIDE map_batches, and a query only scores vectors whose cluster is among
+    its n_probe nearest centroids. Candidate pruning without any shuffle; the
+    trained quantizer is a broadcast of (n_clusters x dim) floats regardless of
+    corpus size. Approximate; recall pinned against brute force in pytest."""
+    q_ids, Q = _take_vectors(embeddings, n_queries)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+
+    def grab_sample(t: pa.Table) -> pa.Table:
+        return t.select(["vec_id", "embedding"])
+
+    srows = embeddings.map_batches(grab_sample, batch_format="pyarrow").limit(train_sample).take_all()
+    Xs = np.array([r["embedding"] for r in srows], dtype=np.float64)
+    Xs = Xs / np.maximum(np.linalg.norm(Xs, axis=1, keepdims=True), 1e-30)
+    rng = np.random.default_rng(20240817)
+    C = Xs[rng.choice(len(Xs), size=min(n_clusters, len(Xs)), replace=False)]
+    for _ in range(iters):  # spherical Lloyd
+        assign = np.argmax(Xs @ C.T, axis=1)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                v = Xs[m].mean(axis=0)
+                C[j] = v / max(np.linalg.norm(v), 1e-30)
+    q_probe = np.argsort(-(Qn @ C.T), axis=1)[:, :n_probe]  # (q, n_probe)
+    ref = ray.put((q_ids, Qn, C, q_probe))
+
+    def partial(t: pa.Table) -> pa.Table:
+        qi, Qm, CC, probe = ray.get(ref)
+        ids, X = _emb_matrix(t)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        cl = np.argmax(Xn @ CC.T, axis=1)
+        rows = {"query_id": [], "neighbor_id": [], "score": []}
+        for qrow, qid in enumerate(qi):
+            cand = np.flatnonzero(np.isin(cl, probe[qrow]))
+            if len(cand) == 0:
+                continue
+            S = Qm[qrow] @ Xn[cand].T
+            kk = min(k + 1, len(cand))
+            top = np.argpartition(-S, kk - 1)[:kk]
+            rows["query_id"].append(np.full(len(top), qid, dtype=np.int64))
+            rows["neighbor_id"].append(ids[cand][top])
+            rows["score"].append(S[top])
+        if not rows["query_id"]:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(rows["query_id"])),
+                "neighbor_id": pa.array(np.concatenate(rows["neighbor_id"])),
+                "score": pa.array(np.concatenate(rows["score"]), pa.float64()),
+            }
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        q = np.asarray(t.column("query_id").to_numpy(zero_copy_only=False))
+        nb = np.asarray(t.column("neighbor_id").to_numpy(zero_copy_only=False))
+        sc = np.asarray(t.column("score").to_numpy(zero_copy_only=False))
+        out = {"query_id": [], "neighbor_id": [], "rank": []}
+        for qid in np.unique(q):
+            m = (q == qid) & (nb != qid)
+            order = np.lexsort((nb[m], -sc[m]))[:k]
+            out["query_id"].append(np.full(len(order), qid, dtype=np.int64))
+            out["neighbor_id"].append(nb[m][order])
+            out["rank"].append(np.arange(1, len(order) + 1, dtype=np.int64))
+        if not out["query_id"]:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out["query_id"])),
+                "neighbor_id": pa.array(np.concatenate(out["neighbor_id"])),
+                "rank": pa.array(np.concatenate(out["rank"])),
+            }
+        )
+
+    partials = embeddings.map_batches(partial, batch_format="pyarrow")
+    return partials.repartition(1).map_batches(final, batch_size=None, batch_format="pyarrow")

@@ -283,3 +283,28 @@ def test_audio_feature_stage(ray_session):
     )
     with _pytest.raises(NotImplementedError):
         AudioFeatureActor()(bad)
+
+
+def test_ann_ivf_recall(ray_session):
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.dataprep import ann_topk, ann_topk_ivf
+
+    rng = np.random.default_rng(31)
+    X = rng.normal(size=(400, 32))
+    X[90] = X[2]  # exact duplicate of query 2
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(400), pa.int64()),
+            "embedding": pa.array([r for r in X.astype(np.float32)], pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(400, dtype=np.int32)),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    exact = ann_topk(ds, n_queries=4, k=5).to_pandas()
+    ivf = ann_topk_ivf(ds, n_queries=4, k=5, n_clusters=8, n_probe=3).to_pandas()
+    dup = ivf[(ivf["query_id"] == 2) & (ivf["rank"] == 1)]
+    assert dup.iloc[0]["neighbor_id"] == 90  # same cluster by construction
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in ivf.itertuples()}
+    assert len(e & a) / len(e) >= 0.5, (e, a)
