@@ -1397,12 +1397,13 @@ def q_gorilla_block_slice(sf_dir: str):
     (only blocks overlapping the 2-minute window are decompressed) -> clipped
     points. Oracle: the points SQL sliced to the same window — proves the pruned
     read decodes exactly the right blocks (GorillaSuperBlock.scala:21-120)."""
+    import hashlib
     import shutil
     import ray.data
 
     from scala_timeseries_lib_ray.stages.gorillastage import encode_blocks, read_block_range
 
-    path = f"/tmp/ray_ts_blocks_{abs(hash(sf_dir)) % 10**8}"
+    path = f"/tmp/ray_ts_blocks_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
     shutil.rmtree(path, ignore_errors=True)
     blocks = encode_blocks(_doc_points_ds(sf_dir), block_width=60_000)
     blocks.write_parquet(path)
