@@ -262,8 +262,8 @@ def main() -> None:
     run_headline(ray, path) if os.environ.get("RAY_TS_WARM", "1") == "1" else None
     sec, n_points = run_headline(ray, path)
     # host-side page-fault state makes single runs noisy (+/-2x observed on this VM):
-    # take the best of RAY_TS_MIN_OF timed runs (scaling legs use 3)
-    for _ in range(max(int(os.environ.get("RAY_TS_MIN_OF", "2")) - 1, 0)):
+    # take the best of RAY_TS_MIN_OF timed runs
+    for _ in range(max(int(os.environ.get("RAY_TS_MIN_OF", "3")) - 1, 0)):
         sec2, _ = run_headline(ray, path)
         sec = min(sec, sec2)
 
