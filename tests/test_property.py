@@ -166,3 +166,48 @@ def test_sample_closest_vectorized_equals_reference_recursion(s, rate, start_off
     assert np.array_equal(got_ts, ref_ts)
     assert np.array_equal(got_v, v[ref_idx] if len(ref_idx) else v[:0])
     assert (got_d == rate).all()
+
+
+@settings(max_examples=120, deadline=None)
+@given(series(), series(), st.sampled_from(["plus", "multiply", "fallback", "left"]),
+       st.integers(20, 120))
+def test_block_merge_plus_refit_equals_global(sa, sb, op_name, block_width):
+    """The scale path's algebra in pure kernels: split both sides at block edges,
+    sweep each block independently, then one canonical fit — must equal the
+    whole-timeline sweep (for ops undefined on (None, None))."""
+    from scala_timeseries_lib_ray.functions.bucket import bucket_split_arrays
+
+    fa, fb = fitted(sa), fitted(sb)
+    want = merge_sweep([fa, fb], OPS[op_name], compress=True)
+
+    blocks = {}
+    for src_idx, (ts, v, d) in enumerate((fa, fb)):
+        n_ts, n_dur, b_ts, take = bucket_split_arrays(ts, d, block_width)
+        n_val = v[take]
+        for j in range(len(n_ts)):
+            blocks.setdefault(int(b_ts[j]), [[], []])[src_idx].append(
+                (int(n_ts[j]), float(n_val[j]), int(n_dur[j]))
+            )
+    parts = []
+    for b in sorted(blocks):
+        sides = []
+        for rows in blocks[b]:
+            if rows:
+                a = np.array(rows)
+                sides.append((a[:, 0].astype(np.int64), a[:, 1], a[:, 2].astype(np.int64)))
+            else:
+                sides.append((np.zeros(0, np.int64), np.zeros(0), np.zeros(0, np.int64)))
+        r = merge_sweep(sides, OPS[op_name], compress=True)
+        if len(r[0]):
+            parts.append(r)
+    if not parts:
+        assert len(want[0]) == 0
+        return
+    ts = np.concatenate([p[0] for p in parts])
+    v = np.concatenate([p[1] for p in parts])
+    d = np.concatenate([p[2] for p in parts])
+    order = np.argsort(ts, kind="stable")
+    got = fit_sorted(ts[order], v[order], d[order], None, compress=True, validate=False)[:3]
+    assert np.array_equal(got[0], want[0]), (got[0], want[0])
+    assert np.array_equal(got[1], want[1])
+    assert np.array_equal(got[2], want[2])
