@@ -1588,6 +1588,57 @@ def q_audio_features(sf_dir: str):
     )
 
 
+MS_1W = 7 * 86_400_000
+
+SQL_ORDERS_ROLLUP_1W = f"""
+WITH pts AS (
+  SELECT o_orderpriority AS source, epoch_ms(o_orderdate) AS ts,
+         ROUND(o_totalprice / 100) AS value, 86400 AS validity
+  FROM orders)
+SELECT source, ts // {MS_1W} * {MS_1W} AS bucket_ts,
+       COUNT(*) AS "count", MIN(value) AS "min", MAX(value) AS "max",
+       SUM(value) AS "sum", SUM(value * validity) AS "wsum",
+       CAST(SUM(validity) AS BIGINT) AS "wdur",
+       SUM(value * validity) / SUM(validity) AS "mean"
+FROM pts GROUP BY 1, 2
+"""
+
+
+def q_orders_rollup_1w(sf_dir: str):
+    """Engine generality over the TPC-H-ish tables: the orders log drives the
+    same tier-rollup machinery (source = order priority, one quantized point per
+    order, weekly continuous aggregates via the map-only tree combine)."""
+    import ray.data
+
+    from scala_timeseries_lib_ray.stages.rollup import rollup_tier
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
+        override_num_blocks=16,
+    )
+
+    def to_points(t: pa.Table) -> pa.Table:
+        ts = pa.compute.cast(t.column("o_orderdate"), pa.int64())
+        tsm = pa.compute.divide(ts, 1000)
+        price = np.asarray(t.column("o_totalprice").to_numpy(zero_copy_only=False))
+        v = price / 100.0
+        v = np.sign(v) * np.floor(np.abs(v) + 0.5)  # SQL ROUND (half away from zero)
+        n = len(price)
+        return pa.table(
+            {
+                "source": t.column("o_orderpriority"),
+                "ts": tsm,
+                "value": pa.array(v, pa.float64()),
+                "validity": pa.array(np.full(n, 86_400, dtype=np.int64)),
+            }
+        )
+
+    pts = orders.map_batches(to_points, batch_format="pyarrow")
+    # orders are not time-clustered -> use the layout-agnostic tree combine
+    return rollup_tier(pts, MS_1W, combine="tree")
+
+
 def q_ann_topk_ivf(sf_dir: str):
     """IVF coarse-quantizer ANN (scale path next to LSH; recall pinned by pytest)."""
     from scala_timeseries_lib_ray.pipelines.dataprep import ann_topk_ivf
@@ -1611,6 +1662,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "ev_sliding_mean": q_ev_sliding_mean,
         "fingerprint_rolling": q_fingerprint_rolling,
         "gorilla_blocks": q_gorilla_blocks,
+        "orders_rollup_1w": q_orders_rollup_1w,
         "ann_topk_ivf": q_ann_topk_ivf,
         "media_frames": q_media_frames,
         "audio_features": q_audio_features,
@@ -1620,6 +1672,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
 def extra_oracle_sql() -> dict[str, str]:
     """Oracles for extra_queries() — checked by tools/check_oracle, not the driver."""
     return {
+        "orders_rollup_1w": SQL_ORDERS_ROLLUP_1W,
         "doc_fit_compress": SQL_DOC_FIT,
         "ev_sliding_min": _sql_ev_sliding_minmax("MIN"),
         "ev_sliding_mean": _sql_ev_sliding_meanstd("mean"),
