@@ -789,7 +789,11 @@ def _mutated_docs(sf_dir: str):
         )
 
     base = _docs_ds(sf_dir)
-    return base.union(base.map_batches(mutate, batch_format="pyarrow"))
+    # materialized: the dedup pipelines stream this corpus 2-3x (signature pass,
+    # candidate extract); caching in the object store (spillable) beats
+    # re-reading + re-mutating per pass. At petabyte scale prefer cache=False
+    # semantics (plain re-read) — the passes are designed for it.
+    return base.union(base.map_batches(mutate, batch_format="pyarrow")).materialize()
 
 
 def q_dedup_minhash(sf_dir: str):
