@@ -554,6 +554,8 @@ def q_ev_tier_1m(sf_dir: str):
 SQL_TEXT_STATS = r"""
 SELECT doc_id, length(text) AS n_chars,
        length(regexp_extract_all(text, '\S+')) AS n_tokens,
+       length(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9'']+|\s+'))
+         AS n_bpe_tokens,
        length(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
        CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
          / GREATEST(length(text), 1) AS alpha_ratio

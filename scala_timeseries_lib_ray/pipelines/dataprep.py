@@ -48,6 +48,9 @@ LANG_MARKERS = [
 
 _PUNCT_RE = r"[.,;:!?]"
 _TOKEN_RE = r"\S+"
+# BPE-ish pretokenizer (GPT-2 shape, RE2-compatible: no lookahead): contraction
+# suffixes, space-prefixed letter/digit runs, space-prefixed symbol runs, spaces
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9']+|\s+"
 _WORD_SPLIT_RE = "[^a-z0-9]+"  # split-form of the [a-z0-9]+ tokenizer
 
 
@@ -58,6 +61,7 @@ def text_stats_batch(t: pa.Table) -> pa.Table:
     text = t.column("text")
     n_chars = pc.utf8_length(text)
     n_tokens = pc.count_substring_regex(text, _TOKEN_RE)
+    n_bpe = pc.count_substring_regex(text, _BPE_RE)
     n_punct = pc.count_substring_regex(text, _PUNCT_RE)
     n_alpha = pc.count_substring_regex(text, r"[A-Za-z]")
     quality = pc.divide(
@@ -69,6 +73,7 @@ def text_stats_batch(t: pa.Table) -> pa.Table:
             "doc_id": t.column("doc_id"),
             "n_chars": pc.cast(n_chars, pa.int64()),
             "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "n_bpe_tokens": pc.cast(n_bpe, pa.int64()),
             "n_punct": pc.cast(n_punct, pa.int64()),
             "alpha_ratio": quality,
         }
