@@ -159,3 +159,30 @@ def test_tokens_sharded_single_block(ray_session):
     )
     out = tokens_from_documents_sharded(ray.data.from_arrow(t)).to_pandas()
     assert list(out.sort_values("doc_id")["doc_id"]) == ["s-00000000", "s-00000001", "s-00000002"]
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.integers(0, 10_000),  # seed
+    st.integers(1, 6),  # number of shards
+    st.integers(2, 5),  # number of event types
+)
+def test_events_sharded_fuzz_equivalence(ray_session, seed, n_shards, n_types):
+    import ray.data
+
+    from scala_timeseries_lib_ray.sources.events import events_to_points
+    from scala_timeseries_lib_ray.stages.shardedderive import events_to_points_sharded
+
+    t = _events_table(n=300, n_types=n_types, seed=seed, hot_frac=0.6)
+    cut = max(1, t.num_rows // n_shards)
+    shards = ray.data.from_arrow([t.slice(i, cut) for i in range(0, t.num_rows, cut)])
+    got = _canon(events_to_points_sharded(shards))
+    want = _canon(
+        ray.data.from_arrow(t)
+        .groupby("event_type")
+        .map_groups(lambda g: events_to_points(g, None), batch_format="pyarrow")
+    )
+    pd.testing.assert_frame_equal(got, want)
