@@ -97,7 +97,15 @@ class SuffixUnitMapper(LabelUnitMapper):
 
 
 def attach_source(t: pa.Table, entity_col: str = "entity", label_col: str = "label") -> pa.Table:
-    """(entity, label) columns -> canonical ``source`` key column (vectorized)."""
+    """(entity, label) columns -> canonical ``source`` key column (vectorized).
+
+    Enforces the separator-free entity invariant (mirrors
+    ``TimeSeriesEntityId.__post_init__``): an entity containing ``SEP`` would
+    round-trip through ``split_source`` as a different (entity, label) pair."""
+    bad = pc.match_substring(pc.cast(t.column(entity_col), pa.string()), SEP)
+    if pc.any(bad).as_py():
+        offender = pc.filter(t.column(entity_col), bad)[0].as_py()
+        raise ValueError(f"entity key must not contain {SEP!r}: {offender!r}")
     src = pc.binary_join_element_wise(
         pc.cast(t.column(entity_col), pa.string()),
         pc.cast(t.column(label_col), pa.string()),

@@ -325,12 +325,19 @@ def _pairs_from_buckets(
         print(f"[dataprep] {dropped} LSH buckets truncated to {max_bucket} members", file=sys.stderr)
     if not out_a:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    a = np.concatenate(out_a)
-    b = np.concatenate(out_b)
     # distinct pairs (same pair can surface from several bands)
-    key = a.astype(np.uint64) << np.uint64(32) | b.astype(np.uint64)
-    _, first = np.unique(key, return_index=True)
-    return a[first], b[first]
+    return _dedup_pairs(np.concatenate(out_a), np.concatenate(out_b))
+
+
+def _dedup_pairs(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct (a, b) rows via lexsort — no 32-bit packing, so doc_ids >= 2^32
+    (the 10^12-doc scale contract) cannot collide."""
+    if len(a) == 0:
+        return a, b
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    return a[keep], b[keep]
 
 
 _EMPTY_PAIRS = pa.table(
@@ -389,9 +396,8 @@ def _candidate_pairs_groupby(sig: ray.data.Dataset, max_bucket: int) -> pa.Table
         return _EMPTY_PAIRS
     a = np.asarray(tbl.column("doc_a").to_numpy(zero_copy_only=False))
     b = np.asarray(tbl.column("doc_b").to_numpy(zero_copy_only=False))
-    key = a.astype(np.uint64) << np.uint64(32) | b.astype(np.uint64)
-    _, first = np.unique(key, return_index=True)
-    return pa.table({"doc_a": pa.array(a[first], pa.int64()), "doc_b": pa.array(b[first], pa.int64())})
+    a, b = _dedup_pairs(a, b)
+    return pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
 
 
 def minhash_lsh_dedup(

@@ -45,8 +45,18 @@ BLOCKS_SCHEMA = pa.schema(
 
 def encode_block(source: str, block_ts: int, block_end: int, ts, value, validity) -> dict:
     """Encode one (source, block): sampled layout when validities are constant
-    (``SampledGorillaBlock`` optimization), tuple layout otherwise."""
+    (``SampledGorillaBlock`` optimization), tuple layout otherwise.
+
+    ``bucket_end`` is widened to cover the last entry's validity: entries are
+    bucketed by START ts (not split at block edges, unlike the reference
+    TimeBucketer), so an entry valid past the nominal block end must keep its
+    block visible to ``read_block_range``'s statistics pruning — otherwise a
+    window falling entirely inside that entry's tail validity would prune the
+    block and silently return nothing."""
     validity = np.asarray(validity)
+    ts_arr = np.asarray(ts)
+    if len(ts_arr):
+        block_end = max(int(block_end), int((ts_arr + validity).max()))
     if len(np.unique(validity)) == 1:
         rate = int(validity[0])
         data = compress_sampled_block(ts, value, int(block_ts))

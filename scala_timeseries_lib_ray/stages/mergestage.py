@@ -158,6 +158,10 @@ def append_blocks(
         return lambda t: t.filter(pa.compute.equal(t.column("source"), src))
 
     cut = points.map_batches(only(source_b), batch_format="pyarrow").min("ts")
+    if cut is None:
+        # b has no rows: reference append on an empty argument is identity —
+        # keep all of a (cut beyond any timestamp; //2 avoids cut-ts overflow).
+        cut = np.iinfo(np.int64).max // 2
 
     def splice(t: pa.Table) -> pa.Table:
         t = t.filter(
@@ -205,6 +209,10 @@ def prepend_blocks(
         )
 
     cut = points.map_batches(ends_of_b, batch_format="pyarrow").max("end")
+    if cut is None:
+        # b has no rows: prepend on an empty argument is identity — keep all
+        # of a untrimmed (cut before any timestamp).
+        cut = np.iinfo(np.int64).min // 2
 
     def splice(t: pa.Table) -> pa.Table:
         t = t.filter(

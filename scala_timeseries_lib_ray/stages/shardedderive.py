@@ -137,8 +137,19 @@ def tokens_from_documents_sharded(
         off = ray.get(ref)
         did = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
         bmin = int(did.min()) if len(did) else 0
+        def rank_offset(s: str) -> int:
+            try:
+                return off[(bmin, s)]
+            except KeyError:
+                # A miss means the count and derive passes saw different
+                # blocking — silent 0 would yield wrong dense ranks.
+                raise KeyError(
+                    f"tokens_from_documents_sharded: no pre-pass offset for "
+                    f"(block_min={bmin}, source={s!r}); count/derive blocking mismatch"
+                ) from None
+
         out = tokens_from_documents(t, seed=seed, with_tokens=with_tokens,
-                                    rank_offset=lambda s: off.get((bmin, s), 0))
+                                    rank_offset=rank_offset)
         return out
 
     return docs.map_batches(derive, batch_size=None, batch_format="pyarrow")

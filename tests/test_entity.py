@@ -66,3 +66,16 @@ def test_split_source_label_may_contain_separator():
     out = split_source(t)
     assert out["entity"].to_pylist() == ["e1"]
     assert out["label"].to_pylist() == ["a:b"]
+
+
+def test_attach_source_rejects_separator_in_entity():
+    import pytest
+
+    t = pa.table(
+        {
+            "entity": pa.array(["e:2"]),
+            "label": pa.array(["c"]),
+        }
+    )
+    with pytest.raises(ValueError, match="must not contain"):
+        attach_source(t)

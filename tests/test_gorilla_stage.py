@@ -199,6 +199,39 @@ def test_read_block_range_prunes(ray_session, tmp_path):
     assert len(got) and (got["ts"] >= lo).all() and ((got["ts"] + got["validity"]) <= hi).all()
 
 
+def test_read_block_range_entry_spanning_block_edge(ray_session, tmp_path):
+    """An entry whose validity extends past its block's nominal end must stay
+    visible to statistics pruning: a window falling entirely inside the tail
+    validity (in a LATER block's time range) must return the trimmed entry,
+    not 0 rows (ADVICE r02 high: bucket_end widened to max(ts+validity))."""
+    import pyarrow as pa
+    import ray.data
+
+    from scala_timeseries_lib_ray.stages.gorillastage import encode_blocks, read_block_range
+
+    base = 1_700_000_000_000
+    # block width 60s; entry starts 10s into block 0 with 190s validity ->
+    # valid until base+200_000, spanning blocks 1..3 entirely.
+    t = pa.table(
+        {
+            "source": pa.array(["a", "a"]),
+            "ts": pa.array([base + 10_000, base + 200_000], pa.int64()),
+            "value": pa.array([7.0, 9.0]),
+            "validity": pa.array([190_000, 1_000], pa.int64()),
+        }
+    )
+    blocks = encode_blocks(ray.data.from_arrow(t), block_width=60_000)
+    path = str(tmp_path / "blocks_span")
+    blocks.write_parquet(path)
+
+    # window fully inside the first entry's tail validity, two blocks later
+    lo, hi = base + 130_000, base + 150_000
+    got = read_block_range(path, lo, hi).to_pandas()
+    assert len(got) == 1
+    assert got.loc[0, "ts"] == lo and got.loc[0, "validity"] == hi - lo
+    assert got.loc[0, "value"] == 7.0
+
+
 def test_encode_blocks_cluster_consolidates(ray_session):
     """Source-interleaved shards: cluster=True yields one block per
     (source, bucket) and decodes to the same points as the fragmented form."""

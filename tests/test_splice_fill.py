@@ -117,3 +117,28 @@ def test_merge_ordered_seqs_stable_ties():
     # ties: left sequence's element first (TimeSeriesMerger.scala lteq)
     assert val.tolist() == [10.0, 20.0, 11.0, 21.0, 22.0, 12.0]
     assert dur.tolist() == [1, 2, 1, 2, 2, 1]
+
+
+def test_append_prepend_blocks_empty_b_is_identity(ray_session):
+    """Reference append/prepend with an empty argument is identity (ADVICE r02:
+    Dataset.min('ts') returns None for an empty side — must not crash)."""
+    import pyarrow as pa
+    import ray.data
+
+    from scala_timeseries_lib_ray.stages.mergestage import append_blocks, prepend_blocks
+
+    t = pa.table(
+        {
+            "source": pa.array(["a", "a"]),
+            "ts": pa.array([1000, 3000], pa.int64()),
+            "value": pa.array([1.0, 2.0]),
+            "validity": pa.array([1000, 500], pa.int64()),
+        }
+    )
+    pts = ray.data.from_arrow(t)
+    got_app = append_blocks(pts, "a", "b").to_pandas().sort_values("ts").reset_index(drop=True)
+    got_pre = prepend_blocks(pts, "a", "b").to_pandas().sort_values("ts").reset_index(drop=True)
+    for got in (got_app, got_pre):
+        assert got["ts"].tolist() == [1000, 3000]
+        assert got["value"].tolist() == [1.0, 2.0]
+        assert got["validity"].tolist() == [1000, 500]
