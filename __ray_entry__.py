@@ -799,9 +799,18 @@ def _mutated_docs(sf_dir: str):
 
 
 def q_dedup_minhash(sf_dir: str):
+    # candidates="groupby" is the cluster-scale (band, key) shuffle path — the
+    # CORRECTNESS gate runs THIS shape; the root-task single-node fast path
+    # lives in extra_queries as dedup_minhash_local.
     from scala_timeseries_lib_ray.pipelines.dataprep import minhash_lsh_dedup
 
-    return minhash_lsh_dedup(_mutated_docs(sf_dir), threshold=0.5)
+    return minhash_lsh_dedup(_mutated_docs(sf_dir), threshold=0.5, candidates="groupby")
+
+
+def q_dedup_minhash_local(sf_dir: str):
+    from scala_timeseries_lib_ray.pipelines.dataprep import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_mutated_docs(sf_dir), threshold=0.5, cache_hashes=True)
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -1672,6 +1681,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "media_frames": q_media_frames,
         "audio_features": q_audio_features,
+        "dedup_minhash_local": q_dedup_minhash_local,
     }
 
 
@@ -1682,4 +1692,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "doc_fit_compress": SQL_DOC_FIT,
         "ev_sliding_min": _sql_ev_sliding_minmax("MIN"),
         "ev_sliding_mean": _sql_ev_sliding_meanstd("mean"),
+        "dedup_minhash_local": _sql_minhash_dedup(0.5, "word3"),
     }

@@ -250,6 +250,69 @@ def shingle_hashes_chars(text_lower: str, n: int = 5) -> np.ndarray:
     return np.unique(md5_u64(grams) % np.uint64(_M31))
 
 
+def _char_shingle_sets_batch(lows: list[str], n: int = 5) -> list[np.ndarray]:
+    """Batched char-n-gram shingle hashing: per-doc distinct sorted 31-bit
+    hashes, value-identical to :func:`shingle_hashes_chars` (md5_number_lower
+    parity — the SQL oracle is untouched) but md5 is called ONLY on the
+    batch-distinct gram vocabulary.
+
+    Vectorized shape: codepoint arrays -> dictionary-encoded chars -> n-char
+    windows packed into uint64 codes (sliding_window_view + shifts) ->
+    np.unique vocabulary -> md5 per DISTINCT gram -> scatter back -> per-doc
+    segment unique. Natural text repeats its n-grams heavily (~25-char
+    alphabet here), so the md5 loop shrinks from every-gram to the vocabulary:
+    the r02 profile had this kernel at 11 s/sf0.1, 3x the next query."""
+    out: list[np.ndarray | None] = [None] * len(lows)
+    cps = [np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32) for s in lows]
+    lens = np.array([len(c) for c in cps], dtype=np.int64)
+    for i, L in enumerate(lens):
+        if L == 0:
+            out[i] = np.empty(0, dtype=np.uint64)
+        elif L < n:
+            out[i] = np.unique(md5_u64([lows[i]]) % np.uint64(_M31))
+    long_idx = np.flatnonzero(lens >= n)
+    if len(long_idx) == 0:
+        return out
+    big = np.concatenate([cps[i] for i in long_idx])
+    dlen = lens[long_idx]
+    uniq_chars, codes = np.unique(big, return_inverse=True)
+    bits = max(1, int(np.ceil(np.log2(max(len(uniq_chars), 2)))))
+    if n * bits > 60:  # pathological alphabet: fall back to the per-doc path
+        for i in long_idx:
+            out[i] = shingle_hashes_chars(lows[i], n)
+        return out
+    codes = codes.astype(np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(codes, n)
+    packed = np.zeros(len(win), dtype=np.uint64)
+    for k in range(n):
+        packed = (packed << np.uint64(bits)) | win[:, k]
+    docpos = np.repeat(np.arange(len(long_idx)), dlen)
+    valid = docpos[: len(win)] == docpos[n - 1 :]  # window inside one doc
+    vpacked = packed[valid]
+    vdoc = docpos[: len(win)][valid]
+    vocab, inv = np.unique(vpacked, return_inverse=True)
+    # reconstruct the distinct grams' strings for md5 parity
+    mat = np.empty((len(vocab), n), dtype=np.uint32)
+    tmp = vocab.copy()
+    mask = np.uint64((1 << bits) - 1)
+    for k in range(n - 1, -1, -1):
+        mat[:, k] = uniq_chars[(tmp & mask).astype(np.int64)]
+        tmp = tmp >> np.uint64(bits)
+    allstr = mat.tobytes().decode("utf-32-le")
+    grams = [allstr[i * n : (i + 1) * n] for i in range(len(vocab))]
+    vocab_h = md5_u64(grams) % np.uint64(_M31)
+    hashes = vocab_h[inv]
+    # per-doc sorted distinct via one lexsort + adjacent dedup + segment split
+    order = np.lexsort((hashes, vdoc))
+    hd, hh = vdoc[order], hashes[order]
+    keep = np.r_[True, (hd[1:] != hd[:-1]) | (hh[1:] != hh[:-1])]
+    hd, hh = hd[keep], hh[keep]
+    bounds = np.searchsorted(hd, np.arange(len(long_idx) + 1))
+    for j, i in enumerate(long_idx):
+        out[i] = hh[bounds[j] : bounds[j + 1]]
+    return out
+
+
 def minhash_signature(hashes: np.ndarray) -> np.ndarray:
     """(N_HASHES,) minhash signature from a doc's shingle-hash set; empty set ->
     empty signature (doc excluded upstream)."""
@@ -265,7 +328,7 @@ def _doc_shingles(t: pa.Table, shingle: str) -> tuple[np.ndarray, list[np.ndarra
     if shingle == "char5":
         ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
         lows = pc.utf8_lower(t.column("text")).to_pylist()
-        return ids, [shingle_hashes_chars(s) for s in lows]
+        return ids, _char_shingle_sets_batch(lows)
     raise ValueError(f"unknown shingle mode {shingle!r}")
 
 
@@ -294,39 +357,106 @@ def minhash_band_batch(t: pa.Table, bands: int, shingle: str) -> pa.Table:
     )
 
 
+def shingle_hash_lists_batch(t: pa.Table, shingle: str) -> pa.Table:
+    """docs -> (doc_id, hashes:list<uint64>) — the ONE pass that touches text.
+    Band keys and Jaccard verification both derive from this table, so the
+    (expensive) shingling kernel never runs twice over the same doc."""
+    ids, sets = _doc_shingles(t, shingle)
+    lens = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets))
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    values = np.concatenate(sets) if sets else np.empty(0, np.uint64)
+    hashes = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(values, pa.uint64())
+    )
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "hashes": hashes})
+
+
+def bands_from_hash_lists(t: pa.Table, bands: int) -> pa.Table:
+    """(doc_id, hashes) -> (doc_id, band, key) LSH rows, fully vectorized:
+    the affine minhash transform runs over the flattened hash values with a
+    per-doc segment min (np.minimum.reduceat); band keys are built with Arrow
+    string casts + joins. Value-identical to the per-doc minhash_signature
+    (same '|'-joined decimal key the SQL oracle reproduces)."""
+    rows_per_band = N_HASHES // bands
+    lens_arr = pc.list_value_length(t.column("hashes"))
+    t = t.filter(pc.greater(lens_arr, 0))  # empty shingle set -> excluded
+    nd = t.num_rows
+    if nd == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "band": pa.array([], pa.int32()),
+                "key": pa.array([], pa.string()),
+            }
+        )
+    ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+    flat = np.asarray(
+        pc.list_flatten(t.column("hashes")).to_numpy(zero_copy_only=False)
+    ).astype(np.uint64)
+    lens = np.asarray(
+        pc.list_value_length(t.column("hashes")).to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    sig_strs = []
+    m31 = np.uint64(_M31)
+    for i in range(N_HASHES):
+        prods = (PERM_A[i] * flat + PERM_B[i]) % m31
+        sig_strs.append(pc.cast(pa.array(np.minimum.reduceat(prods, starts)), pa.string()))
+    out_key = []
+    for b in range(bands):
+        parts = sig_strs[b * rows_per_band : (b + 1) * rows_per_band]
+        out_key.append(pc.binary_join_element_wise(*parts, "|"))
+    return pa.table(
+        {
+            "doc_id": pa.array(np.tile(ids, bands), pa.int64()),
+            "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), nd)),
+            "key": pa.chunked_array(out_key),
+        }
+    )
+
+
 def _pairs_from_buckets(
     bucket_codes: np.ndarray, doc_ids: np.ndarray, max_bucket: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Distinct candidate (a, b) pairs from rows sharing a bucket code. Buckets
-    larger than max_bucket are truncated to their first max_bucket members (by
-    doc_id) with a stderr note — an O(bucket^2) guard for degenerate keys."""
+    """Distinct candidate (a, b) pairs from rows sharing a bucket code,
+    fully vectorized (no per-bucket Python loop — the r02 profile had the
+    pair-emission root task at ~1 s/sf0.1). Buckets larger than max_bucket are
+    truncated to their first max_bucket members (by doc_id) with a stderr note
+    — an O(bucket^2) guard for degenerate keys."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if len(bucket_codes) == 0:
+        return empty
     order = np.lexsort((doc_ids, bucket_codes))
     bc, di = bucket_codes[order], doc_ids[order]
-    starts = np.flatnonzero(np.r_[True, bc[1:] != bc[:-1]])
-    ends = np.r_[starts[1:], len(bc)]
-    out_a, out_b = [], []
-    dropped = 0
-    for s, e in zip(starts, ends):
-        c = e - s
-        if c < 2:
-            continue
-        if c > max_bucket:
-            dropped += 1
-            e = s + max_bucket
-            c = max_bucket
-        members = np.unique(di[s:e])
-        m = len(members)
-        if m < 2:
-            continue
-        ii, jj = np.triu_indices(m, k=1)
-        out_a.append(members[ii])
-        out_b.append(members[jj])
+    # defensive: drop duplicate (bucket, doc) rows (normally one row per doc/band)
+    dup = np.r_[False, (bc[1:] == bc[:-1]) & (di[1:] == di[:-1])]
+    if dup.any():
+        bc, di = bc[~dup], di[~dup]
+    n = len(bc)
+    newb = np.r_[True, bc[1:] != bc[:-1]]
+    gid = np.cumsum(newb) - 1
+    gstart = np.flatnonzero(newb)
+    o = np.arange(n) - gstart[gid]  # within-bucket offset (members sorted by id)
+    sizes = np.bincount(gid)
+    dropped = int((sizes > max_bucket).sum())
     if dropped:
         print(f"[dataprep] {dropped} LSH buckets truncated to {max_bucket} members", file=sys.stderr)
-    if not out_a:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    # distinct pairs (same pair can surface from several bands)
-    return _dedup_pairs(np.concatenate(out_a), np.concatenate(out_b))
+        keep = o < max_bucket
+        di, gid, o = di[keep], gid[keep], o[keep]
+    # each row pairs (as 'b') with every earlier row of its bucket: o pairs
+    total = int(o.sum())
+    if total == 0:
+        return empty
+    b = np.repeat(di, o)
+    run_start = np.cumsum(o) - o
+    a_off = np.arange(total) - np.repeat(run_start, o)
+    # filtered bucket starts (prefix truncation keeps group contiguity)
+    newb2 = np.r_[True, gid[1:] != gid[:-1]]
+    gstart2 = np.flatnonzero(newb2)
+    gid2 = np.cumsum(newb2) - 1
+    a = di[np.repeat(gstart2[gid2], o) + a_off]
+    # members ascend within a bucket, so a < b holds by construction
+    return _dedup_pairs(a, b)
 
 
 def _dedup_pairs(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -408,6 +538,7 @@ def minhash_lsh_dedup(
     candidates: str = "local",
     max_bucket: int = 4096,
     max_candidates: int = 1_000_000,
+    cache_hashes: bool = False,
 ) -> ray.data.Dataset:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
@@ -419,10 +550,21 @@ def minhash_lsh_dedup(
        take_all anywhere; ``max_candidates`` bounds the broadcast.
 
     Output: (doc_a, doc_b, jaccard) for pairs with jaccard >= threshold.
+
+    ``cache_hashes=True`` materializes the (doc_id, hashes) table in the object
+    store (spillable) so the verify pass reads cached hash sets instead of
+    re-shingling candidate docs — a single-node/bench win when candidates are a
+    large fraction of the corpus (planted-duplicate tests). At 100-TB scale the
+    hash lists are ~8x the text bytes, so the default ``False`` keeps the
+    scale-correct shape: stream the corpus twice, re-shingling ONLY candidate
+    docs in the second pass (candidates << corpus in real dedup).
     """
-    sig = docs.map_batches(
-        lambda t: minhash_band_batch(t, bands, shingle), batch_format="pyarrow"
+    hsets = docs.map_batches(
+        lambda t: shingle_hash_lists_batch(t, shingle), batch_format="pyarrow"
     )
+    if cache_hashes:
+        hsets = hsets.materialize()
+    sig = hsets.map_batches(lambda t: bands_from_hash_lists(t, bands), batch_format="pyarrow")
     if candidates == "groupby":
         cand = _candidate_pairs_groupby(sig, max_bucket)
     else:
@@ -432,8 +574,48 @@ def minhash_lsh_dedup(
             f"{cand.num_rows} candidate pairs exceed max_candidates={max_candidates}; "
             "raise the LSH threshold/bands or the cap"
         )
-    sig_map = _collect_candidate_shingles(docs, cand, shingle)
+    if cache_hashes:
+        sig_map = _collect_candidate_hashes(hsets, cand)
+    else:
+        sig_map = _collect_candidate_shingles(docs, cand, shingle)
     return _verify_jaccard(cand, sig_map, threshold)
+
+
+def _candidate_ids(cand: pa.Table) -> np.ndarray:
+    return np.unique(
+        np.concatenate(
+            [
+                np.asarray(cand.column("doc_a").to_numpy(zero_copy_only=False)),
+                np.asarray(cand.column("doc_b").to_numpy(zero_copy_only=False)),
+            ]
+        )
+        if cand.num_rows
+        else [np.empty(0, np.int64)]
+    )
+
+
+def _collect_candidate_hashes(hsets: ray.data.Dataset, cand: pa.Table) -> dict[int, np.ndarray]:
+    """Candidate hash sets from the cached (doc_id, hashes) table — map-side
+    join against the broadcast candidate id set, no re-shingling."""
+    ref = ray.put(_candidate_ids(cand))
+
+    def extract(t: pa.Table) -> pa.Table:
+        needed = ray.get(ref)
+        ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(np.isin(ids, needed)))
+
+    out: dict[int, np.ndarray] = {}
+    # candidate-sized; numpy views over the list column, no per-value Python
+    for t in hsets.map_batches(extract, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        col = t.column("hashes").combine_chunks()
+        vals = np.asarray(col.values.to_numpy(zero_copy_only=False), dtype=np.uint64)
+        offs = np.asarray(col.offsets.to_numpy(zero_copy_only=False), dtype=np.int64)
+        ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+        for i, d in enumerate(ids):
+            out[int(d)] = vals[offs[i] : offs[i + 1]]
+    return out
 
 
 def _collect_candidate_shingles(
