@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -51,22 +50,29 @@ def events_to_points_sharded(
     """events (globally ts-sorted file, row-range blocks) -> points, shard-local
     LEAD + boundary repair. Exactly equals the whole-series groupby derivation."""
 
-    def local(t: pa.Table) -> pa.Table:
+    # Two STREAMING passes over the (lazy) events plan — no whole-dataset
+    # materialize (r02 verdict: the old tagged.materialize() pushed every
+    # derived point through the object store on the hot ev_* path). The interior
+    # pass is the main stream; the edge pass re-derives the same shards and
+    # keeps only the O(shards x series) per-series first/last rows. Both passes
+    # execute the SAME deterministic plan (same parquet read, same block
+    # layout), so the interior/edge split is consistent between them.
+
+    def local_interior(t: pa.Table) -> pa.Table:
         out = events_to_points(t, quantize)  # sorts (source, ts) within the shard
         src = np.asarray(out.column("source").to_numpy(zero_copy_only=False))
         first, last = _series_edges(src)
-        out = out.append_column("_edge", pa.array(first | last))
-        return out.append_column("_last", pa.array(last))
+        return out.filter(pa.array(~(first | last)))
 
-    tagged = events.map_batches(local, batch_size=None, batch_format="pyarrow").materialize()
-    interior = tagged.map_batches(
-        lambda t: t.filter(pc.invert(t.column("_edge"))).drop_columns(["_edge", "_last"]),
-        batch_format="pyarrow",
-    )
-    edges = tagged.map_batches(
-        lambda t: t.filter(t.column("_edge")).drop_columns(["_edge"]),
-        batch_format="pyarrow",
-    )
+    def local_edges(t: pa.Table) -> pa.Table:
+        out = events_to_points(t, quantize)
+        src = np.asarray(out.column("source").to_numpy(zero_copy_only=False))
+        first, last = _series_edges(src)
+        out = out.append_column("_last", pa.array(last))
+        return out.filter(pa.array(first | last))
+
+    interior = events.map_batches(local_interior, batch_size=None, batch_format="pyarrow")
+    edges = events.map_batches(local_edges, batch_size=None, batch_format="pyarrow")
 
     def repair(t: pa.Table) -> pa.Table:
         src = np.asarray(t.column("source").to_numpy(zero_copy_only=False))

@@ -186,3 +186,26 @@ def test_events_sharded_fuzz_equivalence(ray_session, seed, n_shards, n_types):
         .map_groups(lambda g: events_to_points(g, None), batch_format="pyarrow")
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_events_sharded_plan_is_streaming(ray_session):
+    """The ev derivation must not materialize the derived points (r02 verdict):
+    both union branches root directly at the parquet read — a whole-dataset
+    materialize would surface as an InputData leaf instead."""
+    import ray.data
+
+    from scala_timeseries_lib_ray.stages.shardedderive import events_to_points_sharded
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    out = events_to_points_sharded(ds)
+
+    leaves = []
+
+    def walk(op):
+        if not op.input_dependencies:
+            leaves.append(type(op).__name__)
+        for c in op.input_dependencies:
+            walk(c)
+
+    walk(out._logical_plan.dag)
+    assert leaves == ["Read", "Read"], leaves
