@@ -1,0 +1,189 @@
+"""Partitioned IVF ANN index: pruned READS, not just pruned scans.
+
+``ann_topk_ivf`` (dataprep.py) prunes candidates inside each batch but still
+streams the whole corpus past every query run. This module persists the
+vectors ONCE, hive-partitioned by coarse IVF cluster id, and serves top-k by
+reading only the n_probe cluster partitions each query set needs — the same
+trick ``stages/gorillastage.read_block_range`` plays with parquet statistics
+for Gorilla blocks (reference ``GorillaSuperBlock`` footer-index + lazy decode;
+the reference has no ANN analogue — builder brief addition).
+
+Scale shape: the quantizer is a (n_clusters x dim) float matrix broadcast once;
+the build is one streaming assign pass + a partitioned write (one directory per
+cluster — resumable, skew bounded by cluster balance); a query run reads
+|union of probe sets| / n_clusters of the stored bytes, verified by a pytest
+that measures the actual on-disk bytes behind the pruned read.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from .dataprep import _emb_matrix, train_ivf_quantizer
+
+MANIFEST = "ivf_manifest.json"
+
+
+def build_ivf_index(
+    embeddings: ray.data.Dataset,
+    index_dir: str,
+    n_clusters: int = 16,
+    train_sample: int = 2048,
+    iters: int = 8,
+) -> dict:
+    """Train the coarse quantizer, assign every vector to its nearest centroid
+    inside map_batches, and write the corpus hive-partitioned by cluster id.
+    Returns (and persists) the manifest {n_clusters, dim, centroids}."""
+    C = train_ivf_quantizer(embeddings, n_clusters, train_sample, iters)
+    ref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        CC = ray.get(ref)
+        _, X = _emb_matrix(t)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        cl = np.argmax(Xn @ CC.T, axis=1)
+        return t.append_column("cluster", pa.array(cl.astype(np.int32)))
+
+    embeddings.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["cluster"]
+    )
+    manifest = {
+        "n_clusters": int(len(C)),
+        "dim": int(C.shape[1]),
+        "centroids": C.tolist(),
+    }
+    with open(os.path.join(index_dir, MANIFEST), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def load_ivf_centroids(index_dir: str) -> np.ndarray:
+    with open(os.path.join(index_dir, MANIFEST)) as f:
+        return np.asarray(json.load(f)["centroids"], dtype=np.float64)
+
+
+def probe_paths(index_dir: str, clusters) -> list[str]:
+    """Partition directories for the probed clusters (only those that exist —
+    a cluster can be empty)."""
+    paths = []
+    for c in sorted(set(int(c) for c in clusters)):
+        p = os.path.join(index_dir, f"cluster={c}")
+        if os.path.isdir(p):
+            # explicit file list: read_parquet rejects a list of directories
+            for dirpath, _, files in os.walk(p):
+                paths.extend(
+                    os.path.join(dirpath, fn) for fn in sorted(files) if fn.endswith(".parquet")
+                )
+    return paths
+
+
+def ann_topk_ivf_indexed(
+    index_dir: str,
+    q_ids: np.ndarray,
+    Q: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+) -> ray.data.Dataset:
+    """Serve cosine top-k from a built index, reading ONLY the union of the
+    queries' n_probe nearest cluster partitions. Identical results to
+    ``ann_topk_ivf`` with the same quantizer/probe parameters: per-query
+    candidates are still restricted to that query's own probe set (re-derived
+    per batch from the broadcast centroids), the final reduce is the same
+    deterministic (score desc, neighbor asc) rank."""
+    C = load_ivf_centroids(index_dir)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+    q_probe = np.argsort(-(Qn @ C.T), axis=1)[:, :n_probe]  # (q, n_probe)
+    paths = probe_paths(index_dir, q_probe.ravel())
+    if not paths:
+        return ray.data.from_arrow(_EMPTY_RANKS)
+    pruned = ray.data.read_parquet(paths)
+    ref = ray.put((np.asarray(q_ids, dtype=np.int64), Qn, C, q_probe))
+
+    def partial(t: pa.Table) -> pa.Table:
+        qi, Qm, CC, probe = ray.get(ref)
+        ids, X = _emb_matrix(t)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        # re-derive assignments from the broadcast centroids (reading the
+        # partition dirs directly drops the hive key column)
+        cl = np.argmax(Xn @ CC.T, axis=1)
+        rows = {"query_id": [], "neighbor_id": [], "score": []}
+        for qrow, qid in enumerate(qi):
+            cand = np.flatnonzero(np.isin(cl, probe[qrow]))
+            if len(cand) == 0:
+                continue
+            S = Qm[qrow] @ Xn[cand].T
+            kk = min(k + 1, len(cand))
+            top = np.argpartition(-S, kk - 1)[:kk]
+            rows["query_id"].append(np.full(len(top), qid, dtype=np.int64))
+            rows["neighbor_id"].append(ids[cand][top])
+            rows["score"].append(S[top])
+        if not rows["query_id"]:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(rows["query_id"])),
+                "neighbor_id": pa.array(np.concatenate(rows["neighbor_id"])),
+                "score": pa.array(np.concatenate(rows["score"]), pa.float64()),
+            }
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        q = np.asarray(t.column("query_id").to_numpy(zero_copy_only=False))
+        nb = np.asarray(t.column("neighbor_id").to_numpy(zero_copy_only=False))
+        sc = np.asarray(t.column("score").to_numpy(zero_copy_only=False))
+        out = {"query_id": [], "neighbor_id": [], "rank": []}
+        for qid in np.unique(q):
+            m = (q == qid) & (nb != qid)
+            order = np.lexsort((nb[m], -sc[m]))[:k]
+            out["query_id"].append(np.full(len(order), qid, dtype=np.int64))
+            out["neighbor_id"].append(nb[m][order])
+            out["rank"].append(np.arange(1, len(order) + 1, dtype=np.int64))
+        if not out["query_id"]:
+            return _EMPTY_RANKS
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out["query_id"])),
+                "neighbor_id": pa.array(np.concatenate(out["neighbor_id"])),
+                "rank": pa.array(np.concatenate(out["rank"])),
+            }
+        )
+
+    partials = pruned.map_batches(partial, batch_format="pyarrow")
+    return partials.repartition(1).map_batches(final, batch_size=None, batch_format="pyarrow")
+
+
+_EMPTY_RANKS = pa.table(
+    {
+        "query_id": pa.array([], pa.int64()),
+        "neighbor_id": pa.array([], pa.int64()),
+        "rank": pa.array([], pa.int64()),
+    }
+)
+
+
+def index_bytes(index_dir: str, paths: list[str] | None = None) -> int:
+    """On-disk parquet bytes under the given partition dirs (or the whole
+    index) — the measured quantity the pruning pytest asserts on."""
+    roots = paths if paths is not None else [index_dir]
+    total = 0
+    for root in roots:
+        if os.path.isfile(root):
+            total += os.path.getsize(root)
+            continue
+        for dirpath, _, files in os.walk(root):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(dirpath, fn))
+    return total

@@ -1252,6 +1252,40 @@ def embedding_near_dup_pairs(
     return embeddings.map_batches(scan, batch_format="pyarrow")
 
 
+def train_ivf_quantizer(
+    embeddings: ray.data.Dataset,
+    n_clusters: int = 16,
+    train_sample: int = 2048,
+    iters: int = 8,
+    seed: int = 20240817,
+) -> np.ndarray:
+    """Seeded spherical k-means (Lloyd over a bounded sample, cosine geometry)
+    -> (n_clusters, dim) unit centroids. Deterministic: shared by the in-memory
+    ann_topk_ivf scan and the partitioned index builder (annindex.py), so both
+    produce identical cluster assignments."""
+
+    def grab_sample(t: pa.Table) -> pa.Table:
+        return t.select(["vec_id", "embedding"])
+
+    srows = embeddings.map_batches(grab_sample, batch_format="pyarrow").limit(train_sample).take_all()
+    # take_all block order varies run-to-run under streaming execution; sort by
+    # vec_id so two trainings over the same corpus yield identical centroids
+    # (the index build and the serving scan must agree on assignments).
+    sids = np.array([r["vec_id"] for r in srows], dtype=np.int64)
+    Xs = np.array([r["embedding"] for r in srows], dtype=np.float64)[np.argsort(sids)]
+    Xs = Xs / np.maximum(np.linalg.norm(Xs, axis=1, keepdims=True), 1e-30)
+    rng = np.random.default_rng(seed)
+    C = Xs[rng.choice(len(Xs), size=min(n_clusters, len(Xs)), replace=False)]
+    for _ in range(iters):  # spherical Lloyd
+        assign = np.argmax(Xs @ C.T, axis=1)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                v = Xs[m].mean(axis=0)
+                C[j] = v / max(np.linalg.norm(v), 1e-30)
+    return C
+
+
 def ann_topk_ivf(
     embeddings: ray.data.Dataset,
     n_queries: int = 8,
@@ -1271,22 +1305,7 @@ def ann_topk_ivf(
     corpus size. Approximate; recall pinned against brute force in pytest."""
     q_ids, Q = _take_vectors(embeddings, n_queries)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
-
-    def grab_sample(t: pa.Table) -> pa.Table:
-        return t.select(["vec_id", "embedding"])
-
-    srows = embeddings.map_batches(grab_sample, batch_format="pyarrow").limit(train_sample).take_all()
-    Xs = np.array([r["embedding"] for r in srows], dtype=np.float64)
-    Xs = Xs / np.maximum(np.linalg.norm(Xs, axis=1, keepdims=True), 1e-30)
-    rng = np.random.default_rng(20240817)
-    C = Xs[rng.choice(len(Xs), size=min(n_clusters, len(Xs)), replace=False)]
-    for _ in range(iters):  # spherical Lloyd
-        assign = np.argmax(Xs @ C.T, axis=1)
-        for j in range(len(C)):
-            m = assign == j
-            if m.any():
-                v = Xs[m].mean(axis=0)
-                C[j] = v / max(np.linalg.norm(v), 1e-30)
+    C = train_ivf_quantizer(embeddings, n_clusters, train_sample, iters)
     q_probe = np.argsort(-(Qn @ C.T), axis=1)[:, :n_probe]  # (q, n_probe)
     ref = ray.put((q_ids, Qn, C, q_probe))
 

@@ -308,3 +308,61 @@ def test_ann_ivf_recall(ray_session):
     e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
     a = {(r.query_id, r.neighbor_id) for r in ivf.itertuples()}
     assert len(e & a) / len(e) >= 0.5, (e, a)
+
+
+def test_ann_ivf_indexed_pruned_read(ray_session, tmp_path):
+    """Partitioned IVF index: serving reads ONLY the probed cluster partitions
+    (measured on-disk bytes), and returns exactly what the in-memory IVF scan
+    returns with the same quantizer/probe parameters."""
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.annindex import (
+        ann_topk_ivf_indexed,
+        build_ivf_index,
+        index_bytes,
+        load_ivf_centroids,
+        probe_paths,
+    )
+    from scala_timeseries_lib_ray.pipelines.dataprep import _take_vectors, ann_topk_ivf
+
+    rng = np.random.default_rng(31)
+    X = rng.normal(size=(400, 32))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(400), pa.int64()),
+            "embedding": pa.array([r for r in X.astype(np.float32)], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    idx = str(tmp_path / "ivf")
+    man = build_ivf_index(ds, idx, n_clusters=8)
+    assert man["n_clusters"] == 8 and len(load_ivf_centroids(idx)) == 8
+
+    q_ids, Q = _take_vectors(ds, 4)
+    got = (
+        ann_topk_ivf_indexed(idx, q_ids, Q, k=5, n_probe=2)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        ann_topk_ivf(ds, n_queries=4, k=5, n_clusters=8, n_probe=2)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), (got, want)
+
+    # pruning: the served read touches only the probe partitions' bytes
+    C = load_ivf_centroids(idx)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :2]
+    paths = probe_paths(idx, probe.ravel())
+    n_probed_clusters = len({int(c) for c in probe.ravel()})
+    assert n_probed_clusters < 8  # the test only means something if pruning happens
+    read_b = index_bytes(idx, paths)
+    total_b = index_bytes(idx)
+    assert read_b < total_b, (read_b, total_b)
+    # bytes scale with the probed fraction (clusters are roughly balanced;
+    # allow 2x slack for imbalance)
+    assert read_b <= total_b * min(1.0, 2.0 * n_probed_clusters / 8), (read_b, total_b)
