@@ -807,6 +807,38 @@ def q_dedup_minhash(sf_dir: str):
     return minhash_lsh_dedup(_mutated_docs(sf_dir), threshold=0.5, candidates="groupby")
 
 
+def q_doc_lang_runs(sf_dir: str):
+    """GENERIC (string-valued) series through the distributed fit: per-source
+    lang step series (dense-rank grid) -> shard-local fit + canonical refit
+    compresses equal-lang runs exactly. The non-numeric analogue of
+    doc_fit_canonical (reference values are generic T, TimeSeries.scala:14)."""
+    import ray.data
+
+    from scala_timeseries_lib_ray.stages.canonical import refit_canonical
+    from scala_timeseries_lib_ray.stages.shardedderive import label_points_sharded
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang"],
+        override_num_blocks=16,
+    )
+    return refit_canonical(label_points_sharded(docs, value_col="lang"))
+
+
+SQL_DOC_LANG_RUNS = """
+WITH pts AS (
+  SELECT source, lang,
+         (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1) * 60000 AS ts
+  FROM documents),
+runs AS (
+  SELECT source, lang, ts,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY ts)
+           - ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY ts) AS grp
+  FROM pts)
+SELECT source, MIN(ts) AS ts, lang AS value, COUNT(*) * 60000 AS validity
+FROM runs GROUP BY source, grp, lang
+"""
+
+
 def q_dedup_minhash_local(sf_dir: str):
     from scala_timeseries_lib_ray.pipelines.dataprep import minhash_lsh_dedup
 
@@ -1705,6 +1737,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": q_audio_features,
         "dedup_minhash_local": q_dedup_minhash_local,
         "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
+        "doc_lang_runs": q_doc_lang_runs,
     }
 
 
@@ -1716,4 +1749,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "ev_sliding_min": _sql_ev_sliding_minmax("MIN"),
         "ev_sliding_mean": _sql_ev_sliding_meanstd("mean"),
         "dedup_minhash_local": _sql_minhash_dedup(0.5, "word3"),
+        "doc_lang_runs": SQL_DOC_LANG_RUNS,
     }

@@ -84,6 +84,18 @@ def _op_strict_zip(defined, values):
     return da & db, {"value_a": va, "value_b": vb}
 
 
+def _op_and_strict(defined, values):
+    # Boolean strict AND — the reference's prod-data merge regression op
+    # (TimeSeriesMergerSpec.scala:399-420: case (Some(l), Some(r)) => Some(l && r))
+    da, db, va, vb = _two(defined, values)
+    return da & db, va.astype(bool) & vb.astype(bool)
+
+
+def _op_or_strict(defined, values):
+    da, db, va, vb = _two(defined, values)
+    return da & db, va.astype(bool) | vb.astype(bool)
+
+
 def op_minus(l_default: float | None = None, r_default: float | None = None) -> MergeOp:
     """reference NumericTimeSeries.nonStrictMinus (NumericTimeSeries.scala:37-45):
     a missing side falls back to its default; undefined where the needed default is
@@ -139,6 +151,8 @@ OPS: dict[str, MergeOp] = {
     "fallback": MergeOp("fallback", _op_fallback),
     "left": MergeOp("left", _op_left),
     "strict_zip": MergeOp("strict_zip", _op_strict_zip),
+    "and_strict": MergeOp("and_strict", _op_and_strict),
+    "or_strict": MergeOp("or_strict", _op_or_strict),
 }
 
 
@@ -152,7 +166,8 @@ def merge_sweep(
     nonempty = [s for s in series if len(s[0])]
     if not nonempty:
         e = np.zeros(0, dtype=np.int64)
-        return e, np.zeros(0, dtype=np.float64), e
+        dt = series[0][1].dtype if series else np.float64
+        return e, np.zeros(0, dtype=dt), e
     ends = [s[0] + s[2] for s in series]
     lo = min(s[0][0] for s in nonempty)
     hi = max(e[-1] for e, s in zip(ends, series) if len(s[0]))
@@ -165,7 +180,9 @@ def merge_sweep(
     for (ts, val, _v), end in zip(series, ends):
         if len(ts) == 0:
             defined.append(np.zeros(len(left), dtype=bool))
-            values.append(np.zeros(len(left), dtype=np.float64))
+            # dtype-matched placeholder: generic (bool/string/object) series
+            # must not be coerced to float by an absent sibling
+            values.append(np.zeros(len(left), dtype=val.dtype))
             continue
         i = np.searchsorted(ts, left, side="right") - 1
         ic = np.clip(i, 0, None)

@@ -34,6 +34,16 @@ def _series_from_table(t: pa.Table, name: str):
     return ts[order], val[order], dur[order]
 
 
+def _value_array(v) -> pa.Array:
+    """Numeric merge outputs stay float64 (the engine's numeric column type);
+    generic values (bool / string / object — reference values are generic ``T``,
+    TimeSeries.scala:14) keep their own type."""
+    v = np.asarray(v)
+    if v.dtype.kind in "uifc":
+        return pa.array(v.astype(np.float64), pa.float64())
+    return pa.array(v)
+
+
 def _merged_table(out_source: str, r):
     r_ts, r_val, r_dur = r
     cols = {
@@ -42,9 +52,9 @@ def _merged_table(out_source: str, r):
     }
     if isinstance(r_val, dict):
         for k, v in r_val.items():
-            cols[k] = pa.array(np.asarray(v, dtype=np.float64), pa.float64())
+            cols[k] = _value_array(v)
     else:
-        cols["value"] = pa.array(np.asarray(r_val, dtype=np.float64), pa.float64())
+        cols["value"] = _value_array(r_val)
     cols["validity"] = pa.array(r_dur, pa.int64())
     return pa.table(cols)
 

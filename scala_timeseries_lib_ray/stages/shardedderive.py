@@ -108,11 +108,11 @@ def events_to_points_sharded(
     return interior.union(repaired)
 
 
-def tokens_from_documents_sharded(
-    docs: ray.data.Dataset, with_tokens: bool = False, seed: int = 42
-) -> ray.data.Dataset:
-    """documents (globally doc_id-sorted, row-range blocks) -> token table with
-    exact per-source dense ranks, via a counting pre-pass + broadcast offsets."""
+def source_rank_offsets(docs: ray.data.Dataset) -> "ray.ObjectRef":
+    """Counting pre-pass for cross-block per-source dense ranks: one streaming
+    pass emits O(blocks x sources) (block_min, source, n) rows; their per-source
+    prefix sums are broadcast (ray.put). offset[(block_min, source)] = number of
+    same-source docs in blocks with smaller block_min."""
 
     def count(t: pa.Table) -> pa.Table:
         src = np.asarray(t.column("source").to_numpy(zero_copy_only=False))
@@ -127,7 +127,6 @@ def tokens_from_documents_sharded(
         )
 
     tiny = docs.map_batches(count, batch_size=None, batch_format="pyarrow").take_all()
-    # offset[(block_min, source)] = same-source docs in blocks with smaller block_min
     by_src: dict[str, list[tuple[int, int]]] = {}
     for r in tiny:
         by_src.setdefault(r["source"], []).append((r["block_min"], r["n"]))
@@ -137,7 +136,63 @@ def tokens_from_documents_sharded(
         for bmin, n in sorted(entries):
             offsets[(bmin, s)] = acc
             acc += n
-    ref = ray.put(offsets)
+    return ray.put(offsets)
+
+
+def label_points_sharded(
+    docs: ray.data.Dataset, value_col: str = "lang", interval: int = 60_000
+) -> ray.data.Dataset:
+    """documents (globally doc_id-sorted) -> a GENERIC-valued (string) step
+    series per source: ts = per-source dense rank * interval, value = the label
+    column, validity = interval. Reference values are generic ``T``
+    (TimeSeries.scala:14; Boolean/String conformance in TimeSeriesTestBench) —
+    this derivation feeds fit/merge/splice with a non-numeric value column
+    (the fitter compresses equal-label runs). Same two-streaming-pass shape as
+    tokens_from_documents_sharded; a missing pre-pass key raises."""
+    ref = source_rank_offsets(docs)
+
+    def derive(t: pa.Table) -> pa.Table:
+        off = ray.get(ref)
+        did = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+        src = np.asarray(t.column("source").to_numpy(zero_copy_only=False))
+        lab = t.column(value_col)
+        n = len(did)
+        if n == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "ts": pa.array([], pa.int64()),
+                    "value": pa.array([], pa.string()),
+                    "validity": pa.array([], pa.int64()),
+                }
+            )
+        bmin = int(did.min())
+        order = np.lexsort((did, src))
+        s_src = src[order]
+        newseg = np.r_[True, s_src[1:] != s_src[:-1]]
+        segstart = np.flatnonzero(newseg)
+        segid = np.cumsum(newseg) - 1
+        local = np.arange(n) - segstart[segid]
+        base = np.array([off[(bmin, s)] for s in s_src[segstart]], dtype=np.int64)
+        ts = (base[segid] + local) * interval
+        return pa.table(
+            {
+                "source": pa.array(s_src),
+                "ts": pa.array(ts, pa.int64()),
+                "value": lab.take(pa.array(order, pa.int64())),
+                "validity": pa.array(np.full(n, interval, np.int64)),
+            }
+        )
+
+    return docs.map_batches(derive, batch_size=None, batch_format="pyarrow")
+
+
+def tokens_from_documents_sharded(
+    docs: ray.data.Dataset, with_tokens: bool = False, seed: int = 42
+) -> ray.data.Dataset:
+    """documents (globally doc_id-sorted, row-range blocks) -> token table with
+    exact per-source dense ranks, via a counting pre-pass + broadcast offsets."""
+    ref = source_rank_offsets(docs)
 
     def derive(t: pa.Table) -> pa.Table:
         off = ray.get(ref)
