@@ -911,11 +911,14 @@ def q_dedup_embedding(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
+    """Actor-pool image featurization over REAL binary PPM (P6) payloads decoded
+    by the pure-numpy parser; width/height/channel-means are exactly mirrored by
+    the SQL oracle (closed-form pixel field), so this query is hash-gated."""
     import ray.data
 
     from scala_timeseries_lib_ray.pipelines.multimodal import media_features, synth_media_batch
 
-    # deterministic fake media table sized by the documents table
+    # deterministic media table sized by the documents table
     n = _docs_ds(sf_dir, columns=("doc_id",)).count()
     media = ray.data.from_arrow(synth_media_batch(np.arange(n, dtype=np.int64)))
     out = media_features(media, concurrency=2, batch_size=64)
@@ -925,6 +928,29 @@ def q_media_features(sf_dir: str):
         ).drop_columns(["decoded"]),
         batch_format="pyarrow",
     )
+
+
+SQL_MEDIA_FEATURES = """
+WITH ids AS (
+  SELECT unnest(range(0, (SELECT COUNT(*) FROM documents))) AS media_id),
+m AS (
+  SELECT media_id,
+         16 + media_id % 32 AS w,
+         12 + media_id % 24 AS h,
+         (2 * media_id + 1) % 256 AS a,
+         (97 * media_id) % 256 AS b
+  FROM ids),
+px AS (
+  SELECT media_id, w, h, k % 3 AS c,
+         CAST((a * k + b) % 256 AS DOUBLE) AS v
+  FROM m, LATERAL (SELECT unnest(range(0, 3 * w * h)) AS k) t)
+SELECT media_id, ANY_VALUE(w) AS width, ANY_VALUE(h) AS height,
+       AVG(v) FILTER (c = 0) AS mean_r,
+       AVG(v) FILTER (c = 1) AS mean_g,
+       AVG(v) FILTER (c = 2) AS mean_b,
+       CAST(1 AS BIGINT) AS decoded_i
+FROM px GROUP BY media_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1591,9 +1617,10 @@ def oracle_sql() -> dict[str, str]:
         "ev_sliding_std": _sql_ev_sliding_meanstd("std"),
         "ev_sample_closest": SQL_EV_SAMPLE_CLOSEST,
         "tokens_invariant": SQL_TOKENS_INVARIANT,
-        # ann_topk_lsh (approximate by construction), gorilla_blocks inventory and
-        # media_features (stubbed decoder) stay rows-only; their correctness is
-        # pinned by recall/planted/roundtrip pytest instead.
+        "media_features": SQL_MEDIA_FEATURES,
+        # ann_topk_lsh (approximate by construction) and the gorilla_blocks
+        # inventory stay rows-only; their correctness is pinned by
+        # recall/planted/roundtrip pytest instead.
     }
 
 

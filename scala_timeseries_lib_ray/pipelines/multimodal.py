@@ -1,12 +1,16 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads + typed
 metadata, processed by ACTOR-POOL map_batches stages.
 
-The container has no image/audio libraries, so the decoders are deterministic fakes
-behind a clearly-marked seam (``_decode_image_bytes``): they parse our own tiny
-header instead of PNG/JPEG. Everything around the seam — the Arrow ``large_binary``
-schema, the actor signature (state built once in ``__init__``), batch sizing for
-wide binary rows, and the feature-table output layout — is real and tested; swapping
-in a real decoder is a one-function change.
+Image payloads are REAL binary PPM (P6) files decoded by a pure-numpy parser
+(``decode_ppm`` — works on any valid P6, not just our synthetic ones), so the
+feature pipeline is exactly checkable end-to-end without PIL: the synthetic
+pixel field is a closed-form function of (media_id, byte index) that the DuckDB
+oracle reproduces. Compressed formats (PNG/JPEG — libs not in this container)
+raise the documented ``NotImplementedError`` seam; audio payloads keep the
+deterministic fake header. Everything around the seam — the Arrow
+``large_binary`` schema, the actor signature (state built once in ``__init__``),
+batch sizing for wide binary rows, and the feature-table output layout — is
+real and tested; swapping in a libjpeg decoder is a one-function change.
 """
 
 from __future__ import annotations
@@ -30,14 +34,27 @@ MEDIA_SCHEMA = pa.schema(
 _MAGIC = b"FAKEMEDIA1"
 
 
+def media_dims(i: int) -> tuple[int, int]:
+    """Deterministic per-id image dimensions (mirrored by the SQL oracle)."""
+    return 16 + int(i) % 32, 12 + int(i) % 24
+
+
 def synth_media_batch(ids: np.ndarray, kind: str = "image") -> pa.Table:
-    """Deterministic fake media: payload = magic + w:h header + seeded bytes."""
+    """Deterministic media: image/video payloads are REAL binary PPM (P6) files
+    whose pixel bytes follow the closed form ``(a*k + b) % 256`` with
+    ``a = (2*id+1) % 256``, ``b = (97*id) % 256`` — exactly reproducible in SQL.
+    Audio payloads keep the fake magic+header format (rows-only path)."""
     payloads, ws, hs = [], [], []
     for i in ids:
-        w = 32 + int(i) % 64
-        h = 24 + int(i) % 48
-        body = hashlib.sha256(f"{kind}-{i}".encode()).digest() * 4
-        payloads.append(_MAGIC + w.to_bytes(2, "big") + h.to_bytes(2, "big") + body)
+        w, h = media_dims(i)
+        if kind == "audio":
+            body = hashlib.sha256(f"{kind}-{i}".encode()).digest() * 4
+            payloads.append(_MAGIC + w.to_bytes(2, "big") + h.to_bytes(2, "big") + body)
+        else:
+            a = (2 * int(i) + 1) % 256
+            b = (97 * int(i)) % 256
+            px = (a * np.arange(3 * w * h, dtype=np.int64) + b) % 256
+            payloads.append(b"P6\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes())
         ws.append(w)
         hs.append(h)
     return pa.table(
@@ -51,23 +68,54 @@ def synth_media_batch(ids: np.ndarray, kind: str = "image") -> pa.Table:
     )
 
 
-def _decode_image_bytes(payload: bytes) -> np.ndarray:
-    """STUB decoder — replace with PIL/libjpeg in a real deployment.
-
-    Raises NotImplementedError on payloads that are not our deterministic fake
-    format (i.e. real images cannot be decoded in this container)."""
-    if not payload.startswith(_MAGIC):
-        raise NotImplementedError(
-            "real image decoding is not available in this container (no PIL/libjpeg); "
-            "payload is not the deterministic fake format"
-        )
-    w = int.from_bytes(payload[10:12], "big")
-    h = int.from_bytes(payload[12:14], "big")
-    body = payload[14:]
-    # deterministic pixel field from the payload bytes
-    reps = (w * h * 3 + len(body) - 1) // len(body)
-    px = np.frombuffer(body * reps, dtype=np.uint8)[: w * h * 3]
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Pure-numpy binary PPM (P6) decoder — a real decoder for a real
+    uncompressed format: magic, whitespace/comment-tolerant header
+    (width height maxval), then h*w*3 raw bytes."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    pos = 2
+    fields: list[int] = []
+    n = len(payload)
+    while len(fields) < 3 and pos < n:
+        # skip whitespace and '#' comments
+        while pos < n and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and payload[pos] == ord("#"):
+            while pos < n and payload[pos] != ord("\n"):
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    if len(fields) != 3:
+        raise ValueError("truncated PPM header")
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
+    pos += 1  # single whitespace after maxval
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     return px.reshape(h, w, 3)
+
+
+def _decode_image_bytes(payload: bytes) -> np.ndarray:
+    """Image decode seam: real P6 PPM via the numpy parser; the legacy fake
+    format stays decodable; compressed formats raise (no PIL/libjpeg in this
+    container)."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(_MAGIC):
+        w = int.from_bytes(payload[10:12], "big")
+        h = int.from_bytes(payload[12:14], "big")
+        body = payload[14:]
+        reps = (w * h * 3 + len(body) - 1) // len(body)
+        px = np.frombuffer(body * reps, dtype=np.uint8)[: w * h * 3]
+        return px.reshape(h, w, 3)
+    raise NotImplementedError(
+        "compressed image decoding is not available in this container (no PIL/libjpeg); "
+        "payload is neither P6 PPM nor the deterministic fake format"
+    )
 
 
 class MediaFeatureActor:
@@ -83,19 +131,31 @@ class MediaFeatureActor:
         self.proj = rng.normal(size=(3, self.DIM))
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        feats, ok = [], []
+        feats, ok, ws, hs, means = [], [], [], [], []
         for payload in t.column("payload").to_pylist():
             try:
                 img = _decode_image_bytes(payload)
                 mean_rgb = img.reshape(-1, 3).mean(axis=0)
                 feats.append(mean_rgb @ self.proj)
+                means.append(mean_rgb)
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
                 ok.append(True)
             except NotImplementedError:
                 feats.append(np.zeros(self.DIM))
+                means.append(np.full(3, np.nan))
+                ws.append(0)
+                hs.append(0)
                 ok.append(False)
+        M = np.asarray(means, dtype=np.float64).reshape(-1, 3)
         return pa.table(
             {
                 "media_id": t.column("media_id"),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "mean_r": pa.array(M[:, 0], pa.float64()),
+                "mean_g": pa.array(M[:, 1], pa.float64()),
+                "mean_b": pa.array(M[:, 2], pa.float64()),
                 "feature": pa.array([f.tolist() for f in feats], pa.list_(pa.float64())),
                 "decoded": pa.array(ok),
             }

@@ -366,3 +366,19 @@ def test_ann_ivf_indexed_pruned_read(ray_session, tmp_path):
     # bytes scale with the probed fraction (clusters are roughly balanced;
     # allow 2x slack for imbalance)
     assert read_b <= total_b * min(1.0, 2.0 * n_probed_clusters / 8), (read_b, total_b)
+
+
+def test_decode_ppm_real_format():
+    """decode_ppm is a real P6 parser: arbitrary whitespace and comments in the
+    header, exact pixel recovery — not just our synthetic layout."""
+    import pytest
+
+    from scala_timeseries_lib_ray.pipelines.multimodal import decode_ppm
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(3, 2, 3)
+    payload = b"P6 # comment\n# another comment\n 2\t3 \n255\n" + px.tobytes()
+    img = decode_ppm(payload)
+    assert img.shape == (3, 2, 3)
+    assert np.array_equal(img, px)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 2\n255\n" + b"\x00" * 4)
