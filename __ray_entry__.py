@@ -763,10 +763,47 @@ def q_fingerprint(sf_dir: str):
 
 
 def q_fingerprint_rolling(sf_dir: str):
-    # rolling polynomial hash: no SQL equivalent -> rows-only check
     from scala_timeseries_lib_ray.pipelines.dataprep import fingerprint_batch
 
     return _docs_ds(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+# the chunked-Horner rolling hash folds over utf-8 BYTES; ord(c) equals the
+# byte for the ASCII corpus (documents are ASCII — verified at generation)
+SQL_FINGERPRINT_ROLLING = """
+SELECT doc_id, md5(text) AS md5,
+       CASE WHEN length(text) = 0 THEN 0
+            ELSE list_reduce(
+                   list_prepend(0::BIGINT,
+                     list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
+                   (h, v) -> (h * 1000003 + v) % 2147483647)
+       END AS rolling
+FROM documents
+"""
+
+SQL_MEDIA_FRAMES = """
+WITH ids AS (
+  SELECT unnest(range(0, LEAST((SELECT COUNT(*) FROM documents), 2000))) AS media_id),
+m AS (SELECT media_id, 16 + media_id % 32 AS w, 12 + media_id % 24 AS h FROM ids)
+SELECT media_id, CAST(f.f AS INT) AS frame,
+       9 + length(w::VARCHAR) + length(h::VARCHAR) + 3 * w * h + 2 AS n_bytes
+FROM m, LATERAL (SELECT unnest([0, 4, 8, 12]) AS f) f
+"""
+
+SQL_AUDIO_FEATURES = """
+WITH ids AS (
+  SELECT unnest(range(0, LEAST((SELECT COUNT(*) FROM documents), 2000))) AS media_id),
+hx AS (SELECT media_id, sha256('audio-' || media_id) AS h FROM ids),
+b AS (SELECT media_id,
+             list_transform(range(0, 16), i ->
+               CAST((strpos('0123456789abcdef', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(h, CAST(2*i+2 AS INT), 1)) - 1)
+                 AS DOUBLE)) AS v
+      FROM hx)
+SELECT media_id,
+       sqrt(list_avg(list_transform(v, x -> (x - 128.0) * (x - 128.0)))) AS band0
+FROM b
+"""
 
 
 def q_dedup_exact(sf_dir: str):
@@ -1777,4 +1814,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "ev_sliding_mean": _sql_ev_sliding_meanstd("mean"),
         "dedup_minhash_local": _sql_minhash_dedup(0.5, "word3"),
         "doc_lang_runs": SQL_DOC_LANG_RUNS,
+        "fingerprint_rolling": SQL_FINGERPRINT_ROLLING,
+        "media_frames": SQL_MEDIA_FRAMES,
+        "audio_features": SQL_AUDIO_FEATURES,
     }
