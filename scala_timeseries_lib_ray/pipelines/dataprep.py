@@ -313,14 +313,6 @@ def _char_shingle_sets_batch(lows: list[str], n: int = 5) -> list[np.ndarray]:
     return out
 
 
-def minhash_signature(hashes: np.ndarray) -> np.ndarray:
-    """(N_HASHES,) minhash signature from a doc's shingle-hash set; empty set ->
-    empty signature (doc excluded upstream)."""
-    # fully vectorized (n_hashes, n_shingles) affine transform in uint64
-    prods = (PERM_A[:, None] * hashes[None, :] + PERM_B[:, None]) % np.uint64(_M31)
-    return np.min(prods, axis=1)
-
-
 def _doc_shingles(t: pa.Table, shingle: str) -> tuple[np.ndarray, list[np.ndarray]]:
     if shingle == "word3":
         ids, words = _doc_words(t)
@@ -330,31 +322,6 @@ def _doc_shingles(t: pa.Table, shingle: str) -> tuple[np.ndarray, list[np.ndarra
         lows = pc.utf8_lower(t.column("text")).to_pylist()
         return ids, _char_shingle_sets_batch(lows)
     raise ValueError(f"unknown shingle mode {shingle!r}")
-
-
-def minhash_band_batch(t: pa.Table, bands: int, shingle: str) -> pa.Table:
-    """docs -> (doc_id, band, key) rows for LSH bucketing. The band key is the
-    plain '|'-joined minhash values (SQL: string_agg over the band's rows) — a
-    join key, not a digest, so the oracle can reproduce it verbatim."""
-    rows_per_band = N_HASHES // bands
-    ids, shingle_sets = _doc_shingles(t, shingle)
-    doc_ids, band_ids, keys = [], [], []
-    for d, hs in zip(ids, shingle_sets):
-        if len(hs) == 0:
-            continue
-        sig = minhash_signature(hs)
-        for b in range(bands):
-            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            doc_ids.append(d)
-            band_ids.append(b)
-            keys.append("|".join(str(int(v)) for v in chunk))
-    return pa.table(
-        {
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "band": pa.array(band_ids, pa.int32()),
-            "key": pa.array(keys, pa.string()),
-        }
-    )
 
 
 def shingle_hash_lists_batch(t: pa.Table, shingle: str) -> pa.Table:
@@ -375,7 +342,7 @@ def bands_from_hash_lists(t: pa.Table, bands: int) -> pa.Table:
     """(doc_id, hashes) -> (doc_id, band, key) LSH rows, fully vectorized:
     the affine minhash transform runs over the flattened hash values with a
     per-doc segment min (np.minimum.reduceat); band keys are built with Arrow
-    string casts + joins. Value-identical to the per-doc minhash_signature
+    string casts + joins. Value-identical to a per-doc (n_hashes, n_shingles) affine min
     (same '|'-joined decimal key the SQL oracle reproduces)."""
     rows_per_band = N_HASHES // bands
     lens_arr = pc.list_value_length(t.column("hashes"))
