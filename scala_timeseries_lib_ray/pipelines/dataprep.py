@@ -591,17 +591,7 @@ def _collect_candidate_shingles(
     """Map-side join: broadcast the candidate id set, stream the corpus once more
     and keep shingle sets only for candidate docs (candidate-bounded, not
     corpus-bounded)."""
-    ids_needed = np.unique(
-        np.concatenate(
-            [
-                np.asarray(cand.column("doc_a").to_numpy(zero_copy_only=False)),
-                np.asarray(cand.column("doc_b").to_numpy(zero_copy_only=False)),
-            ]
-        )
-        if cand.num_rows
-        else [np.empty(0, np.int64)]
-    )
-    ref = ray.put(ids_needed)
+    ref = ray.put(_candidate_ids(cand))
 
     def extract(t: pa.Table) -> pa.Table:
         needed = ray.get(ref)
@@ -611,17 +601,20 @@ def _collect_candidate_shingles(
             return pa.table(
                 {"doc_id": pa.array([], pa.int64()), "hashes": pa.array([], pa.list_(pa.uint64()))}
             )
-        sub = t.filter(pa.array(m))
-        sids, sets = _doc_shingles(sub, shingle)
-        return pa.table(
-            {
-                "doc_id": pa.array(sids, pa.int64()),
-                "hashes": pa.array([h for h in sets], pa.list_(pa.uint64())),
-            }
-        )
+        return shingle_hash_lists_batch(t.filter(pa.array(m)), shingle)
 
-    rows = docs.map_batches(extract, batch_format="pyarrow").take_all()  # candidate-sized
-    return {r["doc_id"]: np.asarray(r["hashes"], dtype=np.uint64) for r in rows}
+    out: dict[int, np.ndarray] = {}
+    # candidate-sized; numpy views over the list column, no per-value Python
+    for tb in docs.map_batches(extract, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        col = tb.column("hashes").combine_chunks()
+        vals = np.asarray(col.values.to_numpy(zero_copy_only=False), dtype=np.uint64)
+        offs = np.asarray(col.offsets.to_numpy(zero_copy_only=False), dtype=np.int64)
+        dids = np.asarray(tb.column("doc_id").to_numpy(zero_copy_only=False))
+        for i, d in enumerate(dids):
+            out[int(d)] = vals[offs[i] : offs[i + 1]]
+    return out
 
 
 def _pair_chunks(cand: pa.Table, rows_per_chunk: int = 25_000) -> list[pa.Table]:
