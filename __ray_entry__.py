@@ -405,7 +405,7 @@ def q_doc_fit_canonical(sf_dir: str):
         )
 
     pts = _doc_points_ds(sf_dir).map_batches(quantize, batch_format="pyarrow")
-    return refit_canonical(fit_shards(pts, block_width=60_000))
+    return refit_canonical(fit_shards(pts, block_width=60_000), cache=False)
 
 
 def q_doc_gapfill_1m_lkv(sf_dir: str):
@@ -858,7 +858,7 @@ def q_doc_lang_runs(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang"],
         override_num_blocks=16,
     )
-    return refit_canonical(label_points_sharded(docs, value_col="lang"))
+    return refit_canonical(label_points_sharded(docs, value_col="lang"), cache=False)
 
 
 SQL_DOC_LANG_RUNS = """
@@ -1256,7 +1256,7 @@ def q_ev_append(sf_dir: str):
     from scala_timeseries_lib_ray.stages.canonical import refit_canonical
     from scala_timeseries_lib_ray.stages.mergestage import append_blocks
 
-    return refit_canonical(append_blocks(_ev_points_ds(sf_dir), "click", "view"))
+    return refit_canonical(append_blocks(_ev_points_ds(sf_dir), "click", "view"), cache=False)
 
 
 def q_ev_prepend(sf_dir: str):
@@ -1266,7 +1266,8 @@ def q_ev_prepend(sf_dir: str):
     from scala_timeseries_lib_ray.stages.mergestage import prepend_blocks
 
     return refit_canonical(
-        prepend_blocks(_ev_points_ds(sf_dir), "click", "view", out_source="view+click")
+        prepend_blocks(_ev_points_ds(sf_dir), "click", "view", out_source="view+click"),
+        cache=False,
     )
 
 

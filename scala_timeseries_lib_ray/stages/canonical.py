@@ -47,15 +47,26 @@ def refit_canonical(
     points: ray.data.Dataset,
     compress: bool = True,
     value_cols: tuple[str, ...] = ("value",),
+    cache: bool = True,
 ) -> ray.data.Dataset:
     """Points (any batch layout, per-series-sorted within batches after sorting)
     -> canonically fitted points equal to a whole-series fit. ``value_cols``
     supports tuple-valued series (e.g. strictZip outputs): runs merge only when
-    every component matches."""
+    every component matches.
 
-    def local_fit(t: pa.Table) -> pa.Table:
-        fitted = fit_table(_sorted_points(t, value_cols), keys=("source",),
-                           compress=compress, validate=False, value_cols=value_cols)
+    ``cache=False`` streams: two passes over the (lazy) upstream plan — the
+    interior pass is the main stream, the edge pass re-runs the upstream and
+    keeps only the O(batches x series) edge rows — instead of materializing
+    every fitted point through the object store. Use it when the upstream is a
+    cheap deterministic map chain over a read (same plan -> same blocks). Keep
+    the default ``cache=True`` when the upstream is expensive (a shuffle/merge
+    output): the materialize then pays for itself by running it once."""
+
+    def _fit(t: pa.Table) -> pa.Table:
+        return fit_table(_sorted_points(t, value_cols), keys=("source",),
+                         compress=compress, validate=False, value_cols=value_cols)
+
+    def _edge_mask(fitted: pa.Table) -> np.ndarray:
         src = np.asarray(fitted.column("source").to_numpy(zero_copy_only=False))
         n = len(src)
         edge = np.zeros(n, dtype=bool)
@@ -63,17 +74,35 @@ def refit_canonical(
             first = np.concatenate([[True], src[1:] != src[:-1]])
             edge[np.flatnonzero(first)] = True
             edge[np.append(np.flatnonzero(first)[1:] - 1, n - 1)] = True
-        return fitted.append_column("_edge", pa.array(edge))
+        return edge
 
-    tagged = points.map_batches(local_fit, batch_size=None, batch_format="pyarrow").materialize()
-    interior = tagged.map_batches(
-        lambda t: t.filter(pa.compute.invert(t.column("_edge"))).drop_columns(["_edge"]),
-        batch_format="pyarrow",
-    )
-    edges = tagged.map_batches(
-        lambda t: t.filter(t.column("_edge")).drop_columns(["_edge"]),
-        batch_format="pyarrow",
-    )
+    if cache:
+        def local_fit(t: pa.Table) -> pa.Table:
+            fitted = _fit(t)
+            return fitted.append_column("_edge", pa.array(_edge_mask(fitted)))
+
+        tagged = points.map_batches(
+            local_fit, batch_size=None, batch_format="pyarrow"
+        ).materialize()
+        interior = tagged.map_batches(
+            lambda t: t.filter(pa.compute.invert(t.column("_edge"))).drop_columns(["_edge"]),
+            batch_format="pyarrow",
+        )
+        edges = tagged.map_batches(
+            lambda t: t.filter(t.column("_edge")).drop_columns(["_edge"]),
+            batch_format="pyarrow",
+        )
+    else:
+        def local_interior(t: pa.Table) -> pa.Table:
+            fitted = _fit(t)
+            return fitted.filter(pa.array(~_edge_mask(fitted)))
+
+        def local_edges(t: pa.Table) -> pa.Table:
+            fitted = _fit(t)
+            return fitted.filter(pa.array(_edge_mask(fitted)))
+
+        interior = points.map_batches(local_interior, batch_size=None, batch_format="pyarrow")
+        edges = points.map_batches(local_edges, batch_size=None, batch_format="pyarrow")
     edges_fitted = edges.repartition(1).map_batches(
         lambda t: fit_table(_sorted_points(t, value_cols), keys=("source",),
                             compress=compress, validate=False, value_cols=value_cols),
