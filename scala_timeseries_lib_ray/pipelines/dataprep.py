@@ -219,6 +219,9 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
 # VALUES table, see __ray_entry__._sql_minhash_dedup)
 _PERM_RNG = np.random.default_rng(20240817)
 N_HASHES = 64
+# partitions for the cluster-path candidate shuffle (bounded task count; at
+# 256 nodes raise to ~8-16x the worker count)
+N_CAND_PARTS = 64
 PERM_A = _PERM_RNG.integers(1, _M31, N_HASHES, dtype=np.int64).astype(np.uint64)
 PERM_B = _PERM_RNG.integers(0, _M31, N_HASHES, dtype=np.int64).astype(np.uint64)
 
@@ -354,6 +357,7 @@ def bands_from_hash_lists(t: pa.Table, bands: int) -> pa.Table:
                 "doc_id": pa.array([], pa.int64()),
                 "band": pa.array([], pa.int32()),
                 "key": pa.array([], pa.string()),
+                "part": pa.array([], pa.int32()),
             }
         )
     ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
@@ -364,20 +368,31 @@ def bands_from_hash_lists(t: pa.Table, bands: int) -> pa.Table:
         pc.list_value_length(t.column("hashes")).to_numpy(zero_copy_only=False)
     ).astype(np.int64)
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    sig_strs = []
+    sig_strs, sig_first = [], []
     m31 = np.uint64(_M31)
     for i in range(N_HASHES):
         prods = (PERM_A[i] * flat + PERM_B[i]) % m31
-        sig_strs.append(pc.cast(pa.array(np.minimum.reduceat(prods, starts)), pa.string()))
-    out_key = []
+        mins = np.minimum.reduceat(prods, starts)
+        if i % rows_per_band == 0:
+            sig_first.append(mins)
+        sig_strs.append(pc.cast(pa.array(mins), pa.string()))
+    out_key, out_part = [], []
     for b in range(bands):
         parts = sig_strs[b * rows_per_band : (b + 1) * rows_per_band]
         out_key.append(pc.binary_join_element_wise(*parts, "|"))
+        # uniform partition of the (band, key) space for the cluster candidate
+        # path: a deterministic function of (band, key-defining values) so every
+        # row of a bucket lands in the same partition regardless of batch
+        out_part.append(
+            ((sig_first[b] * np.uint64(2654435761) + np.uint64(b)) % np.uint64(N_CAND_PARTS))
+            .astype(np.int32)
+        )
     return pa.table(
         {
             "doc_id": pa.array(np.tile(ids, bands), pa.int64()),
             "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), nd)),
             "key": pa.chunked_array(out_key),
+            "part": pa.array(np.concatenate(out_part)),
         }
     )
 
@@ -471,21 +486,28 @@ def _candidate_pairs_local(sig: ray.data.Dataset, max_bucket: int) -> pa.Table:
 
 
 def _candidate_pairs_groupby(sig: ray.data.Dataset, max_bucket: int) -> pa.Table:
-    """Cluster-scale candidate extraction: hash-partition the signature rows by
-    (band, key) — a uniform-key all-to-all — and emit pairs per bucket."""
+    """Cluster-scale candidate extraction: ONE bounded all-to-all keyed by a
+    uniform partition of the (band, key) space — N_CAND_PARTS partitions, not a
+    task per bucket — then the vectorized pair emission runs on each partition's
+    (band, key) sub-buckets. Every row of a bucket lands in the same partition
+    (the 'part' column is a function of (band, key)), so results equal the
+    per-bucket form while task count stays bounded at any corpus size."""
 
     def emit(t: pa.Table) -> pa.Table:
-        ids = np.unique(np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False)))
-        if len(ids) < 2:
+        if t.num_rows == 0:
             return _EMPTY_PAIRS
-        if len(ids) > max_bucket:
-            ids = ids[:max_bucket]
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pa.table(
-            {"doc_a": pa.array(ids[ii], pa.int64()), "doc_b": pa.array(ids[jj], pa.int64())}
-        )
+        band = np.asarray(t.column("band").to_numpy(zero_copy_only=False), dtype=np.int64)
+        karr = t.column("key").combine_chunks()
+        key_dict = pc.dictionary_encode(karr)
+        codes = np.asarray(key_dict.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+        ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+        bucket = band * (codes.max() + 1) + codes
+        a, b = _pairs_from_buckets(bucket, ids, max_bucket)
+        return pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
 
-    pairs = sig.groupby(["band", "key"]).map_groups(emit, batch_format="pyarrow")
+    pairs = sig.groupby("part").map_groups(
+        lambda t: emit(t.drop_columns(["part"])), batch_format="pyarrow"
+    )
     tbl = pa.concat_tables(
         list(pairs.iter_batches(batch_size=None, batch_format="pyarrow")) or [_EMPTY_PAIRS]
     )
@@ -493,7 +515,7 @@ def _candidate_pairs_groupby(sig: ray.data.Dataset, max_bucket: int) -> pa.Table
         return _EMPTY_PAIRS
     a = np.asarray(tbl.column("doc_a").to_numpy(zero_copy_only=False))
     b = np.asarray(tbl.column("doc_b").to_numpy(zero_copy_only=False))
-    a, b = _dedup_pairs(a, b)
+    a, b = _dedup_pairs(a, b)  # a pair can surface from bands in two partitions
     return pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
 
 
@@ -756,12 +778,16 @@ def simhash_near_pairs(
         parts = []
         for s in range(n_segments):
             seg = (sh >> np.uint64(seg_bits * s)) & mask
+            part = ((seg * np.uint64(2654435761) + np.uint64(s)) % np.uint64(N_CAND_PARTS)).astype(
+                np.int32
+            )
             parts.append(
                 pa.table(
                     {
                         "doc_id": pa.array(ids, pa.int64()),
                         "band": pa.array(np.full(len(ids), s, dtype=np.int32)),
                         "key": pa.array(seg.astype(np.int64)).cast(pa.string()),
+                        "part": pa.array(part),
                         "simhash": pa.array(sh.view(np.int64)),
                     }
                 )
@@ -1077,11 +1103,17 @@ def embedding_band_batch(t: pa.Table, planes: np.ndarray) -> pa.Table:
     keys = (bits << np.arange(EMB_BITS, dtype=np.uint64)[None, None, :]).sum(axis=2)
     out_ids = np.repeat(ids, EMB_BANDS)
     out_band = np.tile(np.arange(EMB_BANDS, dtype=np.int32), len(ids))
+    flat_keys = keys.reshape(-1)
+    part = (
+        (flat_keys * np.uint64(2654435761) + out_band.astype(np.uint64))
+        % np.uint64(N_CAND_PARTS)
+    ).astype(np.int32)
     return pa.table(
         {
             "doc_id": pa.array(out_ids, pa.int64()),
             "band": pa.array(out_band),
-            "key": pa.array(keys.reshape(-1).astype(np.int64)).cast(pa.string()),
+            "key": pa.array(flat_keys.astype(np.int64)).cast(pa.string()),
+            "part": pa.array(part),
         }
     )
 
