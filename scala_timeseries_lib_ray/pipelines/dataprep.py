@@ -795,66 +795,72 @@ def simhash_near_pairs(
         return pa.concat_tables(parts)
 
     sig = hashed.map_batches(explode, batch_format="pyarrow")
-    if candidates == "groupby":
-        cand = _candidate_pairs_groupby(sig.drop_columns(["simhash"]), max_bucket)
-    else:
-        cand = _candidate_pairs_local(sig.drop_columns(["simhash"]), max_bucket)
 
-    # verify pass: hamming from the simhashes of candidate docs (map-side join —
-    # simhashes re-derived only for candidate ids, candidate-bounded broadcast)
-    ids_needed = (
-        np.unique(
-            np.concatenate(
-                [
-                    np.asarray(cand.column("doc_a").to_numpy(zero_copy_only=False)),
-                    np.asarray(cand.column("doc_b").to_numpy(zero_copy_only=False)),
-                ]
-            )
+    def emit(t: pa.Table) -> pa.Table:
+        """Pairs + hamming in ONE step: the simhash value rides the sig rows,
+        so verification needs no second corpus pass and no candidate broadcast
+        (r03: the old extract+verify passes carried ~0.5M pairs at sf0.1)."""
+        if t.num_rows == 0:
+            return _EMPTY_HAMMING
+        band = np.asarray(t.column("band").to_numpy(zero_copy_only=False), dtype=np.int64)
+        karr = t.column("key").combine_chunks()
+        codes = np.asarray(
+            pc.dictionary_encode(karr).indices.to_numpy(zero_copy_only=False), dtype=np.int64
         )
-        if cand.num_rows
-        else np.empty(0, np.int64)
-    )
-    ref = ray.put(ids_needed)
-
-    def extract(t: pa.Table) -> pa.Table:
-        needed = ray.get(ref)
-        m = np.isin(np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False)), needed)
-        return t.filter(pa.array(m))
-
-    rows = hashed.map_batches(extract, batch_format="pyarrow").take_all()
-    row_ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
-    row_sh = np.array([r["simhash"] for r in rows], dtype=np.int64).view(np.uint64)
-    order = np.argsort(row_ids)
-    ref2 = ray.put((row_ids[order], row_sh[order]))
-
-    def verify(t: pa.Table) -> pa.Table:
-        sids, ssh = ray.get(ref2)
-        a = np.asarray(t.column("doc_a").to_numpy(zero_copy_only=False))
-        b = np.asarray(t.column("doc_b").to_numpy(zero_copy_only=False))
-        if len(a) == 0 or len(sids) == 0:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "hamming": pa.array([], pa.int64()),
-                }
-            )
-        # vectorized lookup by sorted-id searchsorted (no per-pair dict hits)
-        ia = np.searchsorted(sids, a).clip(0, len(sids) - 1)
-        ib = np.searchsorted(sids, b).clip(0, len(sids) - 1)
-        present = (sids[ia] == a) & (sids[ib] == b)
-        d = popcount64(ssh[ia] ^ ssh[ib])
-        m = present & (d <= max_hamming)
-        srt = np.lexsort((b[m], a[m]))
+        ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+        sh = np.asarray(t.column("simhash").to_numpy(zero_copy_only=False)).view(np.uint64)
+        bucket = band * (codes.max() + 1) + codes
+        a, b = _pairs_from_buckets(bucket, ids, max_bucket)
+        if len(a) == 0:
+            return _EMPTY_HAMMING
+        uids, first = np.unique(ids, return_index=True)
+        ush = sh[first]
+        d = popcount64(ush[np.searchsorted(uids, a)] ^ ush[np.searchsorted(uids, b)])
+        m = d <= max_hamming
         return pa.table(
             {
-                "doc_a": pa.array(a[m][srt], pa.int64()),
-                "doc_b": pa.array(b[m][srt], pa.int64()),
-                "hamming": pa.array(d[m][srt], pa.int64()),
+                "doc_a": pa.array(a[m], pa.int64()),
+                "doc_b": pa.array(b[m], pa.int64()),
+                "hamming": pa.array(d[m], pa.int64()),
             }
         )
 
-    return ray.data.from_arrow(_pair_chunks(cand)).map_batches(verify, batch_format="pyarrow")
+    if candidates == "groupby":
+        pairs = sig.groupby("part").map_groups(
+            lambda t: emit(t.drop_columns(["part"])), batch_format="pyarrow"
+        )
+    else:
+        pairs = sig.repartition(1).map_batches(emit, batch_size=None, batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        list(pairs.iter_batches(batch_size=None, batch_format="pyarrow")) or [_EMPTY_HAMMING]
+    )
+    if tbl.num_rows == 0:
+        return ray.data.from_arrow(_EMPTY_HAMMING)
+    a = np.asarray(tbl.column("doc_a").to_numpy(zero_copy_only=False))
+    b = np.asarray(tbl.column("doc_b").to_numpy(zero_copy_only=False))
+    d = np.asarray(tbl.column("hamming").to_numpy(zero_copy_only=False))
+    # a pair can surface from several segments (hamming identical everywhere)
+    order = np.lexsort((b, a))
+    a, b, d = a[order], b[order], d[order]
+    keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64()),
+                "hamming": pa.array(d[keep], pa.int64()),
+            }
+        )
+    )
+
+
+_EMPTY_HAMMING = pa.table(
+    {
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "hamming": pa.array([], pa.int64()),
+    }
+)
 
 
 # --------------------------------------------------------------- embeddings: ANN etc.
