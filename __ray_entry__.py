@@ -1250,24 +1250,32 @@ def q_doc_domain_setops(sf_dir: str):
     )
 
 
-def q_ev_append(sf_dir: str):
-    """Distributed append: scalar pre-pass (b's first ts) + stateless splice map
-    + canonical refit (junction compression) — no grouping anywhere."""
-    from scala_timeseries_lib_ray.stages.canonical import refit_canonical
-    from scala_timeseries_lib_ray.stages.mergestage import append_blocks
+def _ev_raw_ds(sf_dir: str):
+    import ray.data
 
-    return refit_canonical(append_blocks(_ev_points_ds(sf_dir), "click", "view"), cache=False)
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"],
+        override_num_blocks=16,
+    )
+
+
+def q_ev_append(sf_dir: str):
+    """Distributed append, fused: closed-form cut (2-column scan of the raw
+    log) + derive/splice/canonical-fit in two streaming passes — equals
+    refit_canonical(append_blocks(events_to_points_sharded(ev))) while running
+    the derive kernel 2x instead of 6x (stages/shardedderive.py)."""
+    from scala_timeseries_lib_ray.stages.shardedderive import spliced_points_canonical
+
+    return spliced_points_canonical(_ev_raw_ds(sf_dir), "click", "view", "append")
 
 
 def q_ev_prepend(sf_dir: str):
-    """Distributed prepend: scalar pre-pass (b's last definedUntil) + stateless
-    splice map + canonical refit (TimeSeries.scala:233-246)."""
-    from scala_timeseries_lib_ray.stages.canonical import refit_canonical
-    from scala_timeseries_lib_ray.stages.mergestage import prepend_blocks
+    """Distributed prepend, fused (TimeSeries.scala:233-246): same two-pass
+    derive/splice/canonical-fit shape as q_ev_append."""
+    from scala_timeseries_lib_ray.stages.shardedderive import spliced_points_canonical
 
-    return refit_canonical(
-        prepend_blocks(_ev_points_ds(sf_dir), "click", "view", out_source="view+click"),
-        cache=False,
+    return spliced_points_canonical(
+        _ev_raw_ds(sf_dir), "click", "view", "prepend", out_source="view+click"
     )
 
 

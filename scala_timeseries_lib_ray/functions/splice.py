@@ -43,6 +43,37 @@ def prepend_series(a: Arrays, b: Arrays, compress: bool = True) -> Arrays:
     return _concat_fit([b, (a_ts, a[1][keep], a_dur)], compress)
 
 
+def splice_arrays_at_cut(
+    mode: str, cut: int, is_a: np.ndarray, ts: np.ndarray, validity: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Row-level append/prepend splice against a precomputed cut scalar
+    (reference ``TimeSeries.scala:216-246``): returns ``(keep, new_ts,
+    new_validity)`` over ALL rows (dropped rows get degenerate values — callers
+    filter by ``keep``). ``is_a`` marks rows of the overwritten side ``a``;
+    other rows (side ``b``) pass through untouched.
+
+    - append:  a-rows defined at ``t >= cut`` are dropped; a straddling entry is
+      trimmed to end at ``cut``.
+    - prepend: a-rows defined strictly before ``cut`` are dropped; a straddling
+      entry's start is advanced to ``cut``.
+    """
+    ts = np.asarray(ts)
+    validity = np.asarray(validity)
+    is_a = np.asarray(is_a)
+    if mode == "append":
+        keep = ~is_a | (ts < cut)
+        new_dur = np.minimum(
+            validity, np.where(is_a, cut - ts, np.iinfo(np.int64).max)
+        )
+        return keep, ts, new_dur
+    if mode == "prepend":
+        end = ts + validity
+        keep = ~is_a | (end > cut)
+        new_ts = np.where(is_a, np.maximum(ts, cut), ts)
+        return keep, new_ts, end - new_ts
+    raise ValueError(f"unknown splice mode {mode!r}")
+
+
 def merge_ordered_seqs(a: Arrays, b: Arrays) -> Arrays:
     """Stable two-way merge of two ts-ordered entry sequences — reference
     ``TimeSeriesMerger.mergeOrderedSeqs`` (TimeSeriesMerger.scala:136-152):

@@ -22,6 +22,14 @@ equal-valued, so the fitter re-merges them).
 Contract: input batches must already be non-overlapping ACROSS batches beyond the
 adjacent boundary rows (true for every shard-local stage output here). Arbitrary
 raw overlapping input needs ``fit_per_series`` / ``fit_blocks`` instead.
+
+CAVEAT (union layouts): a dataset built as ``big.union(tiny_edge_batch)`` — e.g.
+``events_to_points_sharded``'s output, whose repaired-boundary batch holds rows
+temporally INTERIOR to the other batches — violates the contract: the tiny
+batch's middle rows are not in the edge set, so equal-value runs touching them
+stay unmerged. For spliced events series use
+``shardedderive.spliced_points_canonical`` (fused derive+splice+canonical fit)
+instead of composing this over ``append_blocks``/``prepend_blocks``.
 """
 
 from __future__ import annotations

@@ -161,7 +161,10 @@ def append_blocks(
     Scale shape: one tiny pre-pass finds b's first timestamp (broadcast scalar);
     the splice itself is then a stateless per-batch map — no grouping at all.
     Junction compression (equal-value contiguous runs across the cut) is restored
-    by ``refit_canonical`` on the output."""
+    by ``refit_canonical`` on the output — but ONLY when the input's batch layout
+    satisfies refit's cross-batch contract (see canonical.py's union-layout
+    caveat); for events-derived series prefer the fused
+    ``shardedderive.spliced_points_canonical``."""
     out_source = out_source or f"{source_a}+{source_b}"
 
     def only(src):
