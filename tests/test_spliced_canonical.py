@@ -91,6 +91,58 @@ def test_fused_empty_b_is_compressed_identity(ray_session, mode):
     assert len(got) > 0
 
 
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.integers(0, 10_000),  # seed
+    st.integers(1, 7),  # number of shards
+    st.sampled_from(["append", "prepend"]),
+)
+def test_fused_fuzz_equals_exact_kernel(ray_session, seed, n_shards, mode):
+    """Random shard cuts + coarse values (frequent equal runs): the fused op
+    must equal the whole-series reference kernel for any shard layout."""
+    import ray.data
+
+    from scala_timeseries_lib_ray.functions.splice import append_series, prepend_series
+    from scala_timeseries_lib_ray.stages.shardedderive import spliced_points_canonical
+
+    t = _events_table(n=300, n_types=3, seed=seed, coarse=True)
+    cut = max(1, t.num_rows // n_shards)
+    shards = ray.data.from_arrow([t.slice(i, cut) for i in range(0, t.num_rows, cut)])
+    got = _canon(spliced_points_canonical(shards, "t0", "t1", mode))
+    fn = append_series if mode == "append" else prepend_series
+    r_ts, r_val, r_dur = fn(_series(t, "t0"), _series(t, "t1"), compress=True)
+    out_source = "t0+t1" if mode == "append" else "t1+t0"
+    want = pd.DataFrame(
+        {"source": out_source, "ts": r_ts, "value": r_val, "validity": r_dur}
+    ).sort_values(["source", "ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_fused_plan_is_streaming(ray_session):
+    """Both passes of the fused splice root directly at the parquet read — no
+    materialize of the derived points anywhere in the plan."""
+    import ray.data
+
+    from scala_timeseries_lib_ray.stages.shardedderive import spliced_points_canonical
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    out = spliced_points_canonical(ds, "click", "view", "append")
+
+    leaves = []
+
+    def walk(op):
+        if not op.input_dependencies:
+            leaves.append(type(op).__name__)
+        for c in op.input_dependencies:
+            walk(c)
+
+    walk(out._logical_plan.dag)
+    assert leaves == ["Read", "Read"], leaves
+
+
 def test_cut_closed_form_matches_derived_points(ray_session):
     """append cut = min b point ts; prepend cut = max b point end — the
     closed forms from the raw log must equal the values computed from the
