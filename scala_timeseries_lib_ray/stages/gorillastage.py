@@ -23,6 +23,9 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+_I64MIN = np.iinfo(np.int64).min
+_I64MAX = np.iinfo(np.int64).max
+
 from ..functions.gorilla import (
     compress_sampled_block,
     compress_tuple_block,
@@ -144,8 +147,16 @@ def encode_blocks(
     )
 
 
-def decode_blocks(blocks: ray.data.Dataset) -> ray.data.Dataset:
-    """blocks dataset -> points dataset (lazy per-batch decompression)."""
+def decode_blocks(
+    blocks: ray.data.Dataset,
+    t_from: int | None = None,
+    t_to: int | None = None,
+) -> ray.data.Dataset:
+    """blocks dataset -> points dataset (lazy per-batch decompression).
+
+    When ``t_from``/``t_to`` are given the decoded points are clipped to the
+    window inside the same map_batches (one stage instead of decode + slice)."""
+    from ..functions.trim import slice_table
 
     def decode(t: pa.Table) -> pa.Table:
         srcs, tss, vals, durs = [], [], [], []
@@ -167,7 +178,7 @@ def decode_blocks(blocks: ray.data.Dataset) -> ray.data.Dataset:
                     "validity": pa.array([], pa.int64()),
                 }
             )
-        return pa.table(
+        out = pa.table(
             {
                 "source": pa.array(np.concatenate(srcs)),
                 "ts": pa.array(np.concatenate(tss), pa.int64()),
@@ -175,6 +186,13 @@ def decode_blocks(blocks: ray.data.Dataset) -> ray.data.Dataset:
                 "validity": pa.array(np.concatenate(durs), pa.int64()),
             }
         )
+        if t_from is not None or t_to is not None:
+            out = slice_table(
+                out,
+                t_from if t_from is not None else _I64MIN,
+                t_to if t_to is not None else _I64MAX,
+            )
+        return out
 
     return blocks.map_batches(decode, batch_format="pyarrow")
 
@@ -193,14 +211,9 @@ def read_block_range(
     re-expressed as parquet-statistics pruning over the blocks table."""
     import pyarrow.dataset as pads
 
-    from ..functions.trim import slice_table
-
     flt = (pads.field("bucket_end") > t_from) & (pads.field("bucket_ts") < t_to)
     blocks = ray.data.read_parquet(path, filter=flt)
-    pts = decode_blocks(blocks)
-    return pts.map_batches(
-        lambda t: slice_table(t, t_from, t_to), batch_format="pyarrow"
-    )
+    return decode_blocks(blocks, t_from, t_to)
 
 
 class GorillaIngestActor:
