@@ -1788,6 +1788,57 @@ def q_ann_topk_ivf_indexed(sf_dir: str):
     return ann_topk_ivf_indexed(idx, q_ids, Q, k=5, n_probe=4)
 
 
+SQL_TOKEN_TOPK = """
+WITH w AS (SELECT u.w AS word
+           FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                 FROM documents) d, unnest(d.ws) u(w)),
+c AS (SELECT word, COUNT(*)::BIGINT AS cnt FROM w GROUP BY 1)
+SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 100
+"""
+
+SQL_DOC_QUANTILES = """
+SELECT source, COUNT(*)::BIGINT AS n,
+       quantile_disc(n_chars, 0.5) AS p50,
+       quantile_disc(n_chars, 0.9) AS p90,
+       quantile_disc(n_chars, 0.99) AS p99
+FROM documents GROUP BY 1
+"""
+
+SQL_DOC_SAMPLE_HASH = """
+SELECT doc_id, source, n_chars FROM documents
+WHERE md5_number_lower(doc_id::VARCHAR) % 20 = 0
+"""
+
+
+def q_token_topk(sf_dir: str):
+    """Vocabulary heavy hitters: top-100 word frequencies across the corpus
+    (per-batch value_counts combiner -> groupby(word) over partials -> two-level
+    top-k; deterministic (cnt desc, word asc) tie-break)."""
+    from scala_timeseries_lib_ray.pipelines.corpus import token_topk
+
+    return token_topk(_docs_ds(sf_dir), k=100)
+
+
+def q_doc_quantiles(sf_dir: str):
+    """Exact per-source n_chars quantiles via the distributed counting histogram
+    (shuffle carries (source, value, cnt) rows only; DuckDB quantile_disc rule)."""
+    from scala_timeseries_lib_ray.pipelines.corpus import value_quantiles
+
+    return value_quantiles(
+        _docs_ds(sf_dir, columns=("source", "n_chars")), key="source", value_col="n_chars"
+    )
+
+
+def q_doc_sample_hash(sf_dir: str):
+    """Deterministic 5% corpus sample (md5(doc_id) % 20 == 0): the reproducible
+    downsampling / split primitive; stateless filter, no shuffle."""
+    from scala_timeseries_lib_ray.pipelines.corpus import hash_sample
+
+    return hash_sample(
+        _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars")), mod=20, keep=0
+    )
+
+
 def extra_queries() -> dict[str, Callable[[str], Any]]:
     """Bench-only variants beyond the driver's 50-row correctness budget
     (CORRECTNESS_r01 recorded exactly the first 50 queries, so queries() is held
@@ -1811,6 +1862,9 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_local": q_dedup_minhash_local,
         "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
         "doc_lang_runs": q_doc_lang_runs,
+        "token_topk": q_token_topk,
+        "doc_quantiles": q_doc_quantiles,
+        "doc_sample_hash": q_doc_sample_hash,
     }
 
 
@@ -1826,4 +1880,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "fingerprint_rolling": SQL_FINGERPRINT_ROLLING,
         "media_frames": SQL_MEDIA_FRAMES,
         "audio_features": SQL_AUDIO_FEATURES,
+        "token_topk": SQL_TOKEN_TOPK,
+        "doc_quantiles": SQL_DOC_QUANTILES,
+        "doc_sample_hash": SQL_DOC_SAMPLE_HASH,
     }

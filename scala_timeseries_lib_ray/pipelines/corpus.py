@@ -1,0 +1,165 @@
+"""Corpus-statistics operators for the training-data pipeline surface.
+
+Three exact, oracle-checkable operations a 100-TB text pipeline runs routinely:
+
+- :func:`token_topk` — global top-k token frequencies (tokenizer-vocabulary
+  building / heavy hitters). Canonical combiner shape: a vectorized per-batch
+  ``value_counts`` partial shrinks each batch to its DISTINCT words before the
+  ``groupby(word)`` shuffle, so the all-to-all moves |batch vocabulary| rows,
+  not |tokens|. Top-k selection is two-level (per-block k then a k×blocks
+  merge), never a full vocabulary sort.
+- :func:`value_quantiles` — exact per-key quantiles of a bounded-cardinality
+  value column via a distributed counting histogram: per-batch (key, value)
+  counts -> ``groupby`` sum -> closed-form rank lookup per key. Exact whenever
+  value cardinality is bounded (lengths, counts, scores on a grid); for
+  unbounded floats use a sketch instead (reservoir in ``functions/stats.py``).
+- :func:`hash_sample` — deterministic hash-based corpus sampling (keep
+  ``md5(doc_id) % mod == keep``): the standard reproducible downsampling and
+  train/eval split primitive. Stateless filter map_batches — no shuffle, no
+  randomness, resumable by construction.
+
+All three mirror DuckDB closed forms for the driver's exact-hash oracle
+(md5_number_lower parity per ``dataprep.md5_u64``; quantile rule = smallest
+value with CDF >= p, DuckDB ``quantile_disc``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .dataprep import _WORD_SPLIT_RE, md5_u64
+
+
+def _token_counts_batch(t: pa.Table) -> pa.Table:
+    """Per-batch (word, cnt) partials: Arrow tokenizer + value_counts — the
+    map-side combiner (C-speed, no Python per-token work)."""
+    low = pc.utf8_lower(t.column("text"))
+    flat = pc.list_flatten(pc.split_pattern_regex(low, _WORD_SPLIT_RE))
+    flat = flat.filter(pc.not_equal(pc.utf8_length(flat), 0))
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if len(flat) == 0:
+        return pa.table({"word": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+    vc = pc.value_counts(flat)
+    return pa.table(
+        {"word": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+    )
+
+
+def _topk_table(t: pa.Table, k: int) -> pa.Table:
+    """Deterministic top-k rows by (cnt desc, word asc)."""
+    w = np.asarray(t.column("word").to_numpy(zero_copy_only=False))
+    c = np.asarray(t.column("cnt").to_numpy(zero_copy_only=False))
+    order = np.lexsort((w, -c))[:k]
+    return pa.table({"word": pa.array(w[order]), "cnt": pa.array(c[order], pa.int64())})
+
+
+def token_topk(docs: ray.data.Dataset, k: int = 100) -> ray.data.Dataset:
+    """Global top-k word frequencies with a deterministic (cnt desc, word asc)
+    tie-break.
+
+    Scale shape: partial counts per batch (|vocab| rows each) -> hash
+    ``groupby(word)`` over partials -> per-block top-k -> one k×blocks merge
+    task. The only all-to-all carries distinct-word partials; the final merge
+    sees ≤ k rows per combined block, never the vocabulary."""
+    from ray.data.aggregate import Sum
+
+    counts = (
+        docs.map_batches(_token_counts_batch, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return (
+        counts.map_batches(lambda t: _topk_table(t, k), batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(lambda t: _topk_table(t, k), batch_size=None, batch_format="pyarrow")
+    )
+
+
+def _key_value_counts_batch(t: pa.Table, key: str, value_col: str) -> pa.Table:
+    """Per-batch (key, value, cnt) histogram partials."""
+    karr = t.column(key)
+    if isinstance(karr, pa.ChunkedArray):
+        karr = karr.combine_chunks()
+    codes_arr = pc.dictionary_encode(karr)
+    codes = np.asarray(codes_arr.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+    vocab = codes_arr.dictionary
+    vals = np.asarray(t.column(value_col).to_numpy(zero_copy_only=False), dtype=np.int64)
+    pairs, cnt = np.unique(np.stack([codes, vals], axis=1), axis=0, return_counts=True)
+    return pa.table(
+        {
+            key: vocab.take(pa.array(pairs[:, 0], pa.int64())),
+            value_col: pa.array(pairs[:, 1], pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        }
+    )
+
+
+def value_quantiles(
+    ds: ray.data.Dataset,
+    key: str = "source",
+    value_col: str = "n_chars",
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    names: tuple[str, ...] = ("p50", "p90", "p99"),
+) -> ray.data.Dataset:
+    """Exact per-key quantiles of an integer-valued column via a distributed
+    counting histogram (quantile rule: smallest value with CDF >= p, i.e.
+    1-based rank ``ceil(p*n)`` — matching DuckDB ``quantile_disc``).
+
+    The shuffle moves (key, value, cnt) histogram rows — bounded by value
+    cardinality × keys, independent of row count. Per-key extraction is a
+    closed-form rank lookup over the tiny combined histogram."""
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(
+            lambda t: _key_value_counts_batch(t, key, value_col), batch_format="pyarrow"
+        )
+        .groupby([key, value_col])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def extract(t: pa.Table) -> pa.Table:
+        vals = np.asarray(t.column(value_col).to_numpy(zero_copy_only=False))
+        cnts = np.asarray(t.column("cnt").to_numpy(zero_copy_only=False))
+        order = np.argsort(vals)
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        out = {key: [t.column(key)[0].as_py()], "n": [n]}
+        for p, name in zip(ps, names):
+            # discrete quantile = smallest value with CDF >= p: 1-based rank
+            # ceil(p*n) in float64, mirroring DuckDB quantile_disc's double math
+            rank = max(1, int(np.ceil(p * n)))
+            j = int(np.searchsorted(cum, rank, side="left"))
+            out[name] = [int(vals[j])]
+        return pa.table(
+            {
+                key: pa.array(out[key], pa.string()),
+                "n": pa.array(out["n"], pa.int64()),
+                **{m: pa.array(out[m], pa.int64()) for m in names},
+            }
+        )
+
+    return hist.groupby(key).map_groups(extract, batch_format="pyarrow")
+
+
+def hash_sample(
+    docs: ray.data.Dataset, mod: int = 20, keep: int = 0, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Deterministic hash sampling: keep rows where ``md5(str(id)) % mod == keep``.
+
+    Reproducible (no RNG, no state), stream-safe, and composable into disjoint
+    train/eval splits by varying ``keep``. The md5-of-decimal-string key is the
+    oracle-parity form; a production variant over int64 ids would use a
+    vectorized integer mix (splitmix64) with identical structure."""
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False))
+        h = md5_u64([str(int(i)) for i in ids])
+        return t.filter(pa.array((h % np.uint64(mod)) == np.uint64(keep)))
+
+    return docs.map_batches(f, batch_format="pyarrow")

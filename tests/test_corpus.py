@@ -1,0 +1,88 @@
+"""Corpus-statistics operators: top-k tokens, exact quantile histogram, hash sampling."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from scala_timeseries_lib_ray.pipelines.corpus import (
+    hash_sample,
+    token_topk,
+    value_quantiles,
+)
+from scala_timeseries_lib_ray.pipelines.dataprep import md5_u64
+
+
+def _docs_table(texts):
+    return pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+
+
+def test_token_topk_counts_and_tiebreak(ray_session):
+    import ray.data
+
+    texts = ["a b b c", "B c! c?", "zz a", ""]
+    # counts: a=2 b=3 c=3 zz=1 -> top3 by (cnt desc, word asc) = b, c, a
+    ds = ray.data.from_arrow(_docs_table(texts)).repartition(3)
+    out = token_topk(ds, k=3).to_pandas()
+    assert list(out["word"]) == ["b", "c", "a"]
+    assert list(out["cnt"]) == [3, 3, 2]
+
+
+def test_token_topk_matches_python_reference(ray_session):
+    import collections
+
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 30)).tolist()) for _ in range(200)
+    ]
+    ref = collections.Counter()
+    for s in texts:
+        ref.update(w for w in re.split(r"[^a-z0-9]+", s.lower()) if w)
+    expect = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    ds = ray.data.from_arrow(_docs_table(texts)).repartition(4)
+    out = token_topk(ds, k=10).to_pandas()
+    assert list(zip(out["word"], out["cnt"])) == expect
+
+
+@pytest.mark.parametrize("n_rows", [1, 7, 100])
+def test_value_quantiles_matches_sorted_rank(ray_session, n_rows):
+    import ray.data
+
+    rng = np.random.default_rng(n_rows)
+    keys = rng.choice(["a", "b", "c"], size=n_rows)
+    vals = rng.integers(0, 50, size=n_rows).astype(np.int64)
+    t = pa.table({"source": pa.array(keys), "n_chars": pa.array(vals)})
+    out = (
+        value_quantiles(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .set_index("source")
+    )
+    for k in np.unique(keys):
+        v = np.sort(vals[keys == k])
+        n = len(v)
+        assert out.loc[k, "n"] == n
+        for p, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            rank = max(1, int(np.ceil(p * n)))  # smallest value with CDF >= p
+            assert out.loc[k, name] == v[rank - 1], (k, name)
+
+
+def test_hash_sample_partition_of_corpus(ray_session):
+    import ray.data
+
+    ids = np.arange(97, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "x": pa.array(ids * 3)})
+    ds = ray.data.from_arrow(t).repartition(4)
+    parts = [
+        set(hash_sample(ds, mod=4, keep=k).to_pandas()["doc_id"]) for k in range(4)
+    ]
+    # disjoint, complete, and each bucket matches the direct hash rule
+    assert sorted(x for p in parts for x in p) == list(ids)
+    h = md5_u64([str(i) for i in ids])
+    for k in range(4):
+        assert parts[k] == set(ids[(h % np.uint64(4)) == np.uint64(k)])
