@@ -86,3 +86,61 @@ def test_hash_sample_partition_of_corpus(ray_session):
     h = md5_u64([str(i) for i in ids])
     for k in range(4):
         assert parts[k] == set(ids[(h % np.uint64(4)) == np.uint64(k)])
+
+
+def test_corpus_ops_duckdb_parity_fuzz(ray_session):
+    """Random ASCII corpora: token_topk / value_quantiles / hash_sample vs DuckDB
+    (the same closed forms the driver oracle uses), independent of the testdata."""
+    import duckdb
+    import ray.data
+
+    rng = np.random.default_rng(123)
+    chars = np.array(list("abc12 .!-\t"))
+    for trial in range(3):
+        n = int(rng.integers(5, 60))
+        texts = [
+            "".join(rng.choice(chars, size=rng.integers(0, 40))) for _ in range(n)
+        ]
+        srcs = rng.choice(["s1", "s2"], size=n)
+        lens = rng.integers(0, 9, size=n).astype(np.int64)
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "text": pa.array(texts),
+                "source": pa.array(srcs),
+                "n_chars": pa.array(lens),
+            }
+        )
+        con = duckdb.connect()
+        con.register("documents", t)
+        ds = ray.data.from_arrow(t).repartition(3)
+
+        topk = token_topk(ds, k=5).to_pandas()
+        ref = con.execute(
+            "WITH w AS (SELECT u.w AS word FROM (SELECT regexp_extract_all(lower(text),"
+            " '[a-z0-9]+') AS ws FROM documents) d, unnest(d.ws) u(w)),"
+            " c AS (SELECT word, COUNT(*)::BIGINT AS cnt FROM w GROUP BY 1)"
+            " SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 5"
+        ).df()
+        assert list(topk["word"]) == list(ref["word"]) and list(topk["cnt"]) == list(
+            ref["cnt"]
+        ), trial
+
+        qs = (
+            value_quantiles(ds, key="source", value_col="n_chars")
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        refq = con.execute(
+            "SELECT source, COUNT(*)::BIGINT AS n, quantile_disc(n_chars, 0.5) AS p50,"
+            " quantile_disc(n_chars, 0.9) AS p90, quantile_disc(n_chars, 0.99) AS p99"
+            " FROM documents GROUP BY 1 ORDER BY source"
+        ).df()
+        assert (qs.values == refq.values).all(), trial
+
+        samp = hash_sample(ds, mod=3, keep=1).to_pandas()
+        refs = con.execute(
+            "SELECT doc_id FROM documents WHERE md5_number_lower(doc_id::VARCHAR) % 3 = 1"
+        ).df()
+        assert sorted(samp["doc_id"]) == sorted(refs["doc_id"]), trial
