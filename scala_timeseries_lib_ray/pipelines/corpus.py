@@ -57,25 +57,38 @@ def _topk_table(t: pa.Table, k: int) -> pa.Table:
     return pa.table({"word": pa.array(w[order]), "cnt": pa.array(c[order], pa.int64())})
 
 
-def token_topk(docs: ray.data.Dataset, k: int = 100) -> ray.data.Dataset:
+def _combine_counts(t: pa.Table, keys: tuple[str, ...] = ("word",)) -> pa.Table:
+    """Block-local (keys)->sum(cnt) combine via Arrow's C++ hash aggregation."""
+    g = t.group_by(list(keys)).aggregate([("cnt", "sum")])
+    return g.rename_columns(list(keys) + ["cnt"])
+
+
+def token_topk(
+    docs: ray.data.Dataset, k: int = 100, fanin: tuple[int, ...] = (32, 1)
+) -> ray.data.Dataset:
     """Global top-k word frequencies with a deterministic (cnt desc, word asc)
     tie-break.
 
-    Scale shape: partial counts per batch (|vocab| rows each) -> hash
-    ``groupby(word)`` over partials -> per-block top-k -> one k×blocks merge
-    task. The only all-to-all carries distinct-word partials; the final merge
-    sees ≤ k rows per combined block, never the vocabulary."""
-    from ray.data.aggregate import Sum
-
-    counts = (
-        docs.map_batches(_token_counts_batch, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-    )
-    return (
-        counts.map_batches(lambda t: _topk_table(t, k), batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(lambda t: _topk_table(t, k), batch_size=None, batch_format="pyarrow")
+    Scale shape: per-batch ``value_counts`` partials (|batch vocab| rows each),
+    then a map-only TREE combine (Arrow hash-aggregate inside each coalesced
+    block — counts are associative, so key placement never matters), then top-k
+    in the root task. Ray's sort-based ``groupby(word)`` was measured 25x
+    slower on the same 11M partial rows (63 s vs 2.5 s of useful work at 1M
+    docs — string-key sort shuffle), so the tree is the default here exactly as
+    in ``stages/rollup._tree_combine``. The root fan-in of 1 bounds the last
+    task at ``fanin[-2] × |vocab|`` rows — fine for any real tokenizer
+    vocabulary; for an unbounded key space raise the root fan-in and keep only
+    per-block top-k candidates (exactness then needs a word-hash exchange:
+    ``groupby`` mode of the rollup stages)."""
+    counts = docs.map_batches(_token_counts_batch, batch_format="pyarrow")
+    for f in fanin[:-1]:
+        counts = counts.repartition(f).map_batches(
+            _combine_counts, batch_size=None, batch_format="pyarrow"
+        )
+    return counts.repartition(fanin[-1]).map_batches(
+        lambda t: _topk_table(_combine_counts(t), k),
+        batch_size=None,
+        batch_format="pyarrow",
     )
 
 
@@ -109,33 +122,42 @@ def value_quantiles(
     counting histogram (quantile rule: smallest value with CDF >= p, i.e.
     1-based rank ``ceil(p*n)`` — matching DuckDB ``quantile_disc``).
 
-    The shuffle moves (key, value, cnt) histogram rows — bounded by value
-    cardinality × keys, independent of row count. Per-key extraction is a
-    closed-form rank lookup over the tiny combined histogram."""
-    from ray.data.aggregate import Sum
+    The exchanges move (key, value, cnt) histogram rows — bounded by value
+    cardinality × keys, independent of row count — through the same map-only
+    tree combine as :func:`token_topk` (Ray's sort-based groupby measured 25x
+    slower on string-keyed partials). Per-key extraction is a closed-form rank
+    lookup over the combined histogram in the root task."""
 
-    hist = (
-        ds.map_batches(
-            lambda t: _key_value_counts_batch(t, key, value_col), batch_format="pyarrow"
-        )
-        .groupby([key, value_col])
-        .aggregate(Sum("cnt", alias_name="cnt"))
+    hist = ds.map_batches(
+        lambda t: _key_value_counts_batch(t, key, value_col), batch_format="pyarrow"
+    )
+    hist = hist.repartition(32).map_batches(
+        lambda t: _combine_counts(t, (key, value_col)),
+        batch_size=None,
+        batch_format="pyarrow",
     )
 
     def extract(t: pa.Table) -> pa.Table:
+        t = _combine_counts(t, (key, value_col))
+        karr = np.asarray(t.column(key).to_numpy(zero_copy_only=False))
         vals = np.asarray(t.column(value_col).to_numpy(zero_copy_only=False))
         cnts = np.asarray(t.column("cnt").to_numpy(zero_copy_only=False))
-        order = np.argsort(vals)
-        vals, cnts = vals[order], cnts[order]
-        cum = np.cumsum(cnts)
-        n = int(cum[-1])
-        out = {key: [t.column(key)[0].as_py()], "n": [n]}
-        for p, name in zip(ps, names):
-            # discrete quantile = smallest value with CDF >= p: 1-based rank
-            # ceil(p*n) in float64, mirroring DuckDB quantile_disc's double math
-            rank = max(1, int(np.ceil(p * n)))
-            j = int(np.searchsorted(cum, rank, side="left"))
-            out[name] = [int(vals[j])]
+        order = np.lexsort((vals, karr))
+        karr, vals, cnts = karr[order], vals[order], cnts[order]
+        starts = np.flatnonzero(np.r_[True, karr[1:] != karr[:-1]])
+        ends = np.append(starts[1:], len(karr))
+        out: dict[str, list] = {key: [], "n": [], **{m: [] for m in names}}
+        for s, e in zip(starts, ends):
+            cum = np.cumsum(cnts[s:e])
+            n = int(cum[-1])
+            out[key].append(karr[s])
+            out["n"].append(n)
+            for p, name in zip(ps, names):
+                # discrete quantile = smallest value with CDF >= p: 1-based rank
+                # ceil(p*n) in float64, mirroring quantile_disc's double math
+                rank = max(1, int(np.ceil(p * n)))
+                j = int(np.searchsorted(cum, rank, side="left"))
+                out[name].append(int(vals[s + j]))
         return pa.table(
             {
                 key: pa.array(out[key], pa.string()),
@@ -144,7 +166,9 @@ def value_quantiles(
             }
         )
 
-    return hist.groupby(key).map_groups(extract, batch_format="pyarrow")
+    return hist.repartition(1).map_batches(
+        extract, batch_size=None, batch_format="pyarrow"
+    )
 
 
 def hash_sample(
