@@ -341,25 +341,36 @@ def shingle_hash_lists_batch(t: pa.Table, shingle: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, pa.int64()), "hashes": hashes})
 
 
+_EMPTY_SIG = pa.table(
+    {
+        "doc_id": pa.array([], pa.int64()),
+        "band": pa.array([], pa.int32()),
+        "key_hi": pa.array([], pa.uint64()),
+        "key_lo": pa.array([], pa.uint64()),
+        "part": pa.array([], pa.int32()),
+    }
+)
+
+
 def bands_from_hash_lists(t: pa.Table, bands: int) -> pa.Table:
-    """(doc_id, hashes) -> (doc_id, band, key) LSH rows, fully vectorized:
-    the affine minhash transform runs over the flattened hash values with a
-    per-doc segment min (np.minimum.reduceat); band keys are built with Arrow
-    string casts + joins. Value-identical to a per-doc (n_hashes, n_shingles) affine min
-    (same '|'-joined decimal key the SQL oracle reproduces)."""
+    """(doc_id, hashes) -> (doc_id, band, key_hi, key_lo) LSH rows, fully
+    vectorized: the affine minhash transform runs over the flattened hash
+    values with a per-doc segment min (np.minimum.reduceat); the band's
+    row minima (31-bit each) pack LOSSLESSLY into two uint64 key columns
+    (<= 2 minima x 31 bits per column for the default 4-row bands), so bucket
+    identity is exact and the candidate shuffle carries 16 fixed bytes instead
+    of a ~40-byte decimal string per row (the r03 1M-doc profile had the
+    string-keyed exchange at ~10 s of a 29.5 s run). Bands with more than 4
+    rows don't fit 128 bits: their key is the md5_u64 of the same '|'-joined
+    decimal string the SQL oracle uses — a 2^-64 collision can only ADD a
+    candidate pair, which exact-Jaccard verification then removes (the default
+    bands=16 path stays collision-free)."""
     rows_per_band = N_HASHES // bands
     lens_arr = pc.list_value_length(t.column("hashes"))
     t = t.filter(pc.greater(lens_arr, 0))  # empty shingle set -> excluded
     nd = t.num_rows
     if nd == 0:
-        return pa.table(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "band": pa.array([], pa.int32()),
-                "key": pa.array([], pa.string()),
-                "part": pa.array([], pa.int32()),
-            }
-        )
+        return _EMPTY_SIG
     ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
     flat = np.asarray(
         pc.list_flatten(t.column("hashes")).to_numpy(zero_copy_only=False)
@@ -368,30 +379,43 @@ def bands_from_hash_lists(t: pa.Table, bands: int) -> pa.Table:
         pc.list_value_length(t.column("hashes")).to_numpy(zero_copy_only=False)
     ).astype(np.int64)
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    sig_strs, sig_first = [], []
+    sig_mins = []
     m31 = np.uint64(_M31)
     for i in range(N_HASHES):
         prods = (PERM_A[i] * flat + PERM_B[i]) % m31
-        mins = np.minimum.reduceat(prods, starts)
-        if i % rows_per_band == 0:
-            sig_first.append(mins)
-        sig_strs.append(pc.cast(pa.array(mins), pa.string()))
-    out_key, out_part = [], []
+        sig_mins.append(np.minimum.reduceat(prods, starts))
+    out_hi, out_lo, out_part = [], [], []
     for b in range(bands):
-        parts = sig_strs[b * rows_per_band : (b + 1) * rows_per_band]
-        out_key.append(pc.binary_join_element_wise(*parts, "|"))
+        grp = sig_mins[b * rows_per_band : (b + 1) * rows_per_band]
+        if rows_per_band <= 4:
+            half = (rows_per_band + 1) // 2
+            hi = np.zeros(nd, dtype=np.uint64)
+            lo = np.zeros(nd, dtype=np.uint64)
+            for m in grp[:half]:
+                hi = (hi << np.uint64(31)) | m
+            for m in grp[half:]:
+                lo = (lo << np.uint64(31)) | m
+        else:  # see docstring: md5 of the oracle's decimal key, verify-corrected
+            joined = pc.binary_join_element_wise(
+                *[pc.cast(pa.array(m), pa.string()) for m in grp], "|"
+            )
+            hi = np.zeros(nd, dtype=np.uint64)
+            lo = md5_u64(joined.to_pylist())
+        out_hi.append(hi)
+        out_lo.append(lo)
         # uniform partition of the (band, key) space for the cluster candidate
         # path: a deterministic function of (band, key-defining values) so every
         # row of a bucket lands in the same partition regardless of batch
         out_part.append(
-            ((sig_first[b] * np.uint64(2654435761) + np.uint64(b)) % np.uint64(N_CAND_PARTS))
+            ((grp[0] * np.uint64(2654435761) + np.uint64(b)) % np.uint64(N_CAND_PARTS))
             .astype(np.int32)
         )
     return pa.table(
         {
             "doc_id": pa.array(np.tile(ids, bands), pa.int64()),
             "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), nd)),
-            "key": pa.chunked_array(out_key),
+            "key_hi": pa.array(np.concatenate(out_hi), pa.uint64()),
+            "key_lo": pa.array(np.concatenate(out_lo), pa.uint64()),
             "part": pa.array(np.concatenate(out_part)),
         }
     )
@@ -400,22 +424,28 @@ def bands_from_hash_lists(t: pa.Table, bands: int) -> pa.Table:
 def _pairs_from_buckets(
     bucket_codes: np.ndarray, doc_ids: np.ndarray, max_bucket: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Distinct candidate (a, b) pairs from rows sharing a bucket code,
-    fully vectorized (no per-bucket Python loop — the r02 profile had the
-    pair-emission root task at ~1 s/sf0.1). Buckets larger than max_bucket are
-    truncated to their first max_bucket members (by doc_id) with a stderr note
-    — an O(bucket^2) guard for degenerate keys."""
-    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    """Distinct candidate (a, b) pairs from rows sharing a bucket code."""
     if len(bucket_codes) == 0:
-        return empty
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
     order = np.lexsort((doc_ids, bucket_codes))
     bc, di = bucket_codes[order], doc_ids[order]
+    return _pairs_from_sorted(np.r_[True, bc[1:] != bc[:-1]], di, max_bucket)
+
+
+def _pairs_from_sorted(
+    newb: np.ndarray, di: np.ndarray, max_bucket: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pair emission over bucket-grouped, id-ascending rows (``newb`` marks the
+    first row of each bucket), fully vectorized (no per-bucket Python loop —
+    the r02 profile had the pair-emission root task at ~1 s/sf0.1). Buckets
+    larger than max_bucket are truncated to their first max_bucket members (by
+    doc_id) with a stderr note — an O(bucket^2) guard for degenerate keys."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
     # defensive: drop duplicate (bucket, doc) rows (normally one row per doc/band)
-    dup = np.r_[False, (bc[1:] == bc[:-1]) & (di[1:] == di[:-1])]
+    dup = np.r_[False, ~newb[1:] & (di[1:] == di[:-1])]
     if dup.any():
-        bc, di = bc[~dup], di[~dup]
-    n = len(bc)
-    newb = np.r_[True, bc[1:] != bc[:-1]]
+        newb, di = newb[~dup], di[~dup]
+    n = len(di)
     gid = np.cumsum(newb) - 1
     gstart = np.flatnonzero(newb)
     o = np.arange(n) - gstart[gid]  # within-bucket offset (members sorted by id)
@@ -457,24 +487,32 @@ _EMPTY_PAIRS = pa.table(
 )
 
 
+def _sig_pairs(t: pa.Table, max_bucket: int) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate pairs straight from sig rows with ONE lexsort: sort by
+    (band, key_hi, key_lo) with doc_id innermost — rows land bucket-grouped and
+    id-ascending in a single pass, exactly the layout pair emission needs
+    (np.unique(axis=0)'s void-view sort and a two-lexsort pipeline both
+    measured 2-4x slower on the 16M-row 1M-doc sig table)."""
+    band = np.asarray(t.column("band").to_numpy(zero_copy_only=False)).astype(np.uint64)
+    hi = np.asarray(t.column("key_hi").to_numpy(zero_copy_only=False)).astype(np.uint64)
+    lo = np.asarray(t.column("key_lo").to_numpy(zero_copy_only=False)).astype(np.uint64)
+    ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+    order = np.lexsort((ids, lo, hi, band))
+    b2, h2, l2 = band[order], hi[order], lo[order]
+    newb = np.r_[True, (b2[1:] != b2[:-1]) | (h2[1:] != h2[:-1]) | (l2[1:] != l2[:-1])]
+    return _pairs_from_sorted(newb, ids[order], max_bucket)
+
+
 def _candidate_pairs_local(sig: ray.data.Dataset, max_bucket: int) -> pa.Table:
     """Root-task candidate extraction over compact (doc_id, band, key) rows.
-    Single-node fast path: the signature table is ~16 rows x 20 B per doc — at
-    sf0.1 that's ~3 MB; Ray's sort-based groupby costs ~20 s fixed here, the
+    Single-node fast path: the signature table is 16 fixed-width rows per doc —
+    at sf0.1 that's ~3 MB; Ray's sort-based groupby costs ~20 s fixed here, the
     root task costs ~0.1 s. At cluster scale use candidates="groupby"."""
 
     def emit(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return _EMPTY_PAIRS
-        band = np.asarray(t.column("band").to_numpy(zero_copy_only=False), dtype=np.int64)
-        karr = t.column("key").combine_chunks()
-        if isinstance(karr, pa.ChunkedArray):
-            karr = karr.chunk(0) if karr.num_chunks else pa.array([], pa.string())
-        key_dict = pc.dictionary_encode(karr)
-        codes = np.asarray(key_dict.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
-        ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
-        bucket = band * (codes.max() + 1) + codes
-        a, b = _pairs_from_buckets(bucket, ids, max_bucket)
+        a, b = _sig_pairs(t, max_bucket)
         return pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
 
     tables = list(
@@ -496,13 +534,7 @@ def _candidate_pairs_groupby(sig: ray.data.Dataset, max_bucket: int) -> pa.Table
     def emit(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return _EMPTY_PAIRS
-        band = np.asarray(t.column("band").to_numpy(zero_copy_only=False), dtype=np.int64)
-        karr = t.column("key").combine_chunks()
-        key_dict = pc.dictionary_encode(karr)
-        codes = np.asarray(key_dict.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
-        ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
-        bucket = band * (codes.max() + 1) + codes
-        a, b = _pairs_from_buckets(bucket, ids, max_bucket)
+        a, b = _sig_pairs(t, max_bucket)
         return pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
 
     pairs = sig.groupby("part").map_groups(
@@ -786,7 +818,7 @@ def simhash_near_pairs(
                     {
                         "doc_id": pa.array(ids, pa.int64()),
                         "band": pa.array(np.full(len(ids), s, dtype=np.int32)),
-                        "key": pa.array(seg.astype(np.int64)).cast(pa.string()),
+                        "key": pa.array(seg.astype(np.int64)),  # segment value IS the key
                         "part": pa.array(part),
                         "simhash": pa.array(sh.view(np.int64)),
                     }
@@ -803,13 +835,10 @@ def simhash_near_pairs(
         if t.num_rows == 0:
             return _EMPTY_HAMMING
         band = np.asarray(t.column("band").to_numpy(zero_copy_only=False), dtype=np.int64)
-        karr = t.column("key").combine_chunks()
-        codes = np.asarray(
-            pc.dictionary_encode(karr).indices.to_numpy(zero_copy_only=False), dtype=np.int64
-        )
+        seg = np.asarray(t.column("key").to_numpy(zero_copy_only=False), dtype=np.int64)
         ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
         sh = np.asarray(t.column("simhash").to_numpy(zero_copy_only=False)).view(np.uint64)
-        bucket = band * (codes.max() + 1) + codes
+        bucket = (band << np.int64(seg_bits)) | seg
         a, b = _pairs_from_buckets(bucket, ids, max_bucket)
         if len(a) == 0:
             return _EMPTY_HAMMING
@@ -1118,7 +1147,8 @@ def embedding_band_batch(t: pa.Table, planes: np.ndarray) -> pa.Table:
         {
             "doc_id": pa.array(out_ids, pa.int64()),
             "band": pa.array(out_band),
-            "key": pa.array(flat_keys.astype(np.int64)).cast(pa.string()),
+            "key_hi": pa.array(np.zeros(len(flat_keys), np.uint64), pa.uint64()),
+            "key_lo": pa.array(flat_keys, pa.uint64()),
             "part": pa.array(part),
         }
     )
