@@ -749,22 +749,23 @@ def simhash_batch(t: pa.Table) -> pa.Table:
     codes = np.asarray(pc.index_in(flat, value_set=uniq).to_numpy(zero_copy_only=False))
     h = md5_u64(uniq.to_pylist())
     V = len(uniq)
-    dk = np.unique(doc_idx.astype(np.int64) * V + codes)  # distinct (doc, word)
+    dk = np.unique(doc_idx.astype(np.int64) * V + codes)  # distinct (doc, word), doc-sorted
     d_idx = (dk // V).astype(np.int64)
     d_code = (dk % V).astype(np.int64)
     bits = ((h[d_code][:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int32
     )
     pm = 2 * bits - 1
-    acc = np.zeros((len(ids), 64), dtype=np.int64)
-    np.add.at(acc, d_idx, pm)
+    # dk is sorted, so rows group contiguously by doc: a segment reduceat beats
+    # np.add.at's unbuffered scatter ~10x on the (pairs, 64) accumulation
+    starts = np.flatnonzero(np.r_[True, d_idx[1:] != d_idx[:-1]])
+    acc = np.add.reduceat(pm, starts, axis=0)
     sh = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
-    has_words = np.zeros(len(ids), dtype=bool)
-    has_words[d_idx] = True
+    present = d_idx[starts]  # docs with >= 1 word, ascending
     return pa.table(
         {
-            "doc_id": pa.array(ids[has_words], pa.int64()),
-            "simhash": pa.array(sh[has_words].astype(np.int64)),
+            "doc_id": pa.array(ids[present], pa.int64()),
+            "simhash": pa.array(sh.astype(np.int64)),
         }
     )
 
