@@ -1810,6 +1810,68 @@ WHERE md5_number_lower(doc_id::VARCHAR) % 20 = 0
 """
 
 
+SQL_TOKEN_TRENDS = """
+WITH ranked AS (
+  SELECT source, doc_id, text,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS r
+  FROM documents
+), tsd AS (
+  SELECT 1700000000000 + 2800 * r + (r * 37) % 250 AS ts, text FROM ranked
+), w AS (
+  SELECT (ts // 60000) * 60000 AS bucket_ts, u.w AS word
+  FROM (SELECT ts, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM tsd) d,
+       unnest(d.ws) u(w)
+), c AS (SELECT bucket_ts, word, COUNT(*)::BIGINT AS cnt FROM w GROUP BY 1, 2),
+rk AS (SELECT *, row_number() OVER (PARTITION BY bucket_ts
+                                    ORDER BY cnt DESC, word) AS rn FROM c)
+SELECT bucket_ts, word, cnt FROM rk WHERE rn <= 3
+"""
+
+
+def q_token_trends(sf_dir: str):
+    """Top-3 tokens per 1-minute bucket of the document time grid — the
+    windowed composition of the corpus heavy-hitter combiner with the engine's
+    bucket grid (trend / drift monitoring). Uses the same sharded dense-rank
+    pre-pass as every doc derivation (no shuffle to build the grid)."""
+    import ray as _ray
+
+    from scala_timeseries_lib_ray.pipelines.corpus import token_trends
+    from scala_timeseries_lib_ray.stages.shardedderive import source_rank_offsets
+
+    docs = _docs_ds(sf_dir, columns=("doc_id", "source", "text"))
+    ref = source_rank_offsets(_read_documents(sf_dir))
+
+    def with_ts(t: pa.Table) -> pa.Table:
+        off = _ray.get(ref)
+        did = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+        src = np.asarray(t.column("source").to_numpy(zero_copy_only=False))
+        n = len(did)
+        if n == 0:
+            return pa.table({"ts": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+        bmin = int(did.min())
+        order = np.lexsort((did, src))
+        s_src = src[order]
+        newseg = np.r_[True, s_src[1:] != s_src[:-1]]
+        segstart = np.flatnonzero(newseg)
+        segid = np.cumsum(newseg) - 1
+        local = np.arange(n) - segstart[segid]
+        base = np.array([off[(bmin, s)] for s in s_src[segstart]], dtype=np.int64)
+        r = base[segid] + local
+        ts = 1_700_000_000_000 + 2800 * r + (r * 37) % 250
+        return pa.table(
+            {
+                "ts": pa.array(ts, pa.int64()),
+                "text": t.column("text").take(pa.array(order, pa.int64())),
+            }
+        )
+
+    return token_trends(
+        docs.map_batches(with_ts, batch_size=None, batch_format="pyarrow"),
+        width=60_000,
+        k=3,
+    )
+
+
 def q_token_topk(sf_dir: str):
     """Vocabulary heavy hitters: top-100 word frequencies across the corpus
     (per-batch value_counts combiner -> groupby(word) over partials -> two-level
@@ -1865,6 +1927,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "token_topk": q_token_topk,
         "doc_quantiles": q_doc_quantiles,
         "doc_sample_hash": q_doc_sample_hash,
+        "token_trends": q_token_trends,
     }
 
 
@@ -1883,4 +1946,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "token_topk": SQL_TOKEN_TOPK,
         "doc_quantiles": SQL_DOC_QUANTILES,
         "doc_sample_hash": SQL_DOC_SAMPLE_HASH,
+        "token_trends": SQL_TOKEN_TRENDS,
     }

@@ -171,6 +171,85 @@ def value_quantiles(
     )
 
 
+def token_trends(
+    docs_ts: ray.data.Dataset,
+    width: int,
+    k: int = 3,
+    fanin: tuple[int, ...] = (32,),
+) -> ray.data.Dataset:
+    """Top-k tokens PER TIME BUCKET (trending-vocabulary / drift monitoring):
+    the windowed composition of :func:`token_topk` with the engine's bucket
+    grid. Input needs (ts, text) columns; output is (bucket_ts, word, cnt),
+    ≤ k rows per bucket, deterministic (cnt desc, word asc) within a bucket.
+
+    Same scale shape as token_topk: per-batch Arrow hash-aggregate partials on
+    (bucket, word), map-only tree combine, per-bucket top-k extracted in the
+    root task (bounded at fanin[-1] × |buckets × vocab| rows — partition the
+    bucket range across root tasks when the cross product outgrows one block)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = np.asarray(t.column("ts").to_numpy(zero_copy_only=False))
+        bucket = (ts // width) * width
+        low = pc.utf8_lower(t.column("text"))
+        lists = pc.split_pattern_regex(low, _WORD_SPLIT_RE)
+        counts = np.asarray(pc.list_value_length(lists).to_numpy(zero_copy_only=False))
+        flat = pc.list_flatten(lists)
+        keep = pc.not_equal(pc.utf8_length(flat), 0)
+        row_bucket = np.repeat(bucket, counts)[
+            np.asarray(keep.to_numpy(zero_copy_only=False))
+        ]
+        flat = flat.filter(keep)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        raw = pa.table(
+            {
+                "bucket_ts": pa.array(row_bucket, pa.int64()),
+                "word": flat,
+                "cnt": pa.array(np.ones(len(row_bucket), dtype=np.int64)),
+            }
+        )
+        return _combine_counts(raw, ("bucket_ts", "word"))
+
+    hist = docs_ts.map_batches(partial, batch_format="pyarrow")
+    for f in fanin:
+        hist = hist.repartition(f).map_batches(
+            lambda t: _combine_counts(t, ("bucket_ts", "word")),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+
+    def per_bucket_topk(t: pa.Table) -> pa.Table:
+        t = _combine_counts(t, ("bucket_ts", "word"))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "bucket_ts": pa.array([], pa.int64()),
+                    "word": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        b = np.asarray(t.column("bucket_ts").to_numpy(zero_copy_only=False))
+        w = np.asarray(t.column("word").to_numpy(zero_copy_only=False))
+        c = np.asarray(t.column("cnt").to_numpy(zero_copy_only=False))
+        order = np.lexsort((w, -c, b))
+        b, w, c = b[order], w[order], c[order]
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        gid = np.cumsum(np.r_[True, b[1:] != b[:-1]]) - 1
+        off = np.arange(len(b)) - starts[gid]
+        m = off < k
+        return pa.table(
+            {
+                "bucket_ts": pa.array(b[m], pa.int64()),
+                "word": pa.array(w[m]),
+                "cnt": pa.array(c[m], pa.int64()),
+            }
+        )
+
+    return hist.repartition(1).map_batches(
+        per_bucket_topk, batch_size=None, batch_format="pyarrow"
+    )
+
+
 def hash_sample(
     docs: ray.data.Dataset, mod: int = 20, keep: int = 0, id_col: str = "doc_id"
 ) -> ray.data.Dataset:

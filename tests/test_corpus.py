@@ -144,3 +144,32 @@ def test_corpus_ops_duckdb_parity_fuzz(ray_session):
             "SELECT doc_id FROM documents WHERE md5_number_lower(doc_id::VARCHAR) % 3 = 1"
         ).df()
         assert sorted(samp["doc_id"]) == sorted(refs["doc_id"]), trial
+
+
+def test_token_trends_per_bucket_topk(ray_session):
+    import collections
+
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.corpus import token_trends
+
+    rng = np.random.default_rng(11)
+    n = 300
+    ts = rng.integers(0, 5 * 60_000, size=n).astype(np.int64)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 8))) for _ in range(n)]
+    t = pa.table({"ts": pa.array(ts), "text": pa.array(texts)})
+    out = token_trends(
+        ray.data.from_arrow(t).repartition(4), width=60_000, k=2
+    ).to_pandas()
+    # python reference
+    ref = collections.defaultdict(collections.Counter)
+    for tsi, txt in zip(ts, texts):
+        b = (tsi // 60_000) * 60_000
+        ref[b].update(w for w in re.split(r"[^a-z0-9]+", txt.lower()) if w)
+    expect = []
+    for b in sorted(ref):
+        top = sorted(ref[b].items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        expect += [(b, w, c) for w, c in top]
+    got = sorted(zip(out["bucket_ts"], out["word"], out["cnt"]))
+    assert got == sorted(expect)
