@@ -1810,6 +1810,35 @@ WHERE md5_number_lower(doc_id::VARCHAR) % 20 = 0
 """
 
 
+SQL_CONTAMINATION = """
+WITH mdocs AS (SELECT doc_id, text FROM documents),
+sh AS (
+SELECT doc_id,
+       CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+            WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+            ELSE list_transform(range(1, len(ws) - 1),
+                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+       END AS shingles
+FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM mdocs)
+),
+sgd AS (SELECT DISTINCT doc_id, md5_number_lower(u.sh) % 2147483647::UBIGINT AS x
+        FROM sh, unnest(shingles) u(sh)),
+ev AS (SELECT DISTINCT x FROM sgd WHERE doc_id < 20)
+SELECT s.doc_id, COUNT(*)::BIGINT AS n_overlap
+FROM sgd s JOIN ev USING (x) WHERE s.doc_id >= 20 GROUP BY 1
+"""
+
+
+def q_contamination(sf_dir: str):
+    """Eval-set decontamination: per-corpus-doc count of 3-word shingles shared
+    with the (broadcast) eval set doc_id < 20 — the benchmark-leakage filter a
+    training pipeline runs before every export. No shuffle: sorted-array
+    membership + per-doc reduceat inside one stateless map."""
+    from scala_timeseries_lib_ray.pipelines.dataprep import contamination_counts
+
+    return contamination_counts(_docs_ds(sf_dir), eval_max_id=20)
+
+
 SQL_TOKEN_TRENDS = """
 WITH ranked AS (
   SELECT source, doc_id, text,
@@ -1928,6 +1957,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "doc_quantiles": q_doc_quantiles,
         "doc_sample_hash": q_doc_sample_hash,
         "token_trends": q_token_trends,
+        "contamination": q_contamination,
     }
 
 
@@ -1947,4 +1977,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "doc_quantiles": SQL_DOC_QUANTILES,
         "doc_sample_hash": SQL_DOC_SAMPLE_HASH,
         "token_trends": SQL_TOKEN_TRENDS,
+        "contamination": SQL_CONTAMINATION,
     }

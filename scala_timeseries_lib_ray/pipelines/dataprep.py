@@ -725,6 +725,79 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return inter / max(len(a) + len(b) - inter, 1)
 
 
+# ----------------------------------------------------------- eval decontamination
+
+
+def contamination_counts(
+    docs: ray.data.Dataset,
+    eval_max_id: int = 20,
+    shingle: str = "word3",
+) -> ray.data.Dataset:
+    """Eval-set decontamination: for every corpus doc (doc_id >= eval_max_id),
+    count its distinct shingles that also appear anywhere in the eval set
+    (doc_id < eval_max_id); emit (doc_id, n_overlap) for docs with >= 1 hit —
+    the docs a training run must drop to avoid benchmark leakage.
+
+    Scale shape: the eval shingle-hash UNION is collected once (eval sets are
+    small by definition) and broadcast via ray.put as one sorted array; the
+    corpus pass is a stateless map_batches doing a searchsorted membership test
+    + per-doc segment reduceat — no shuffle, no second corpus pass, linear in
+    corpus bytes. Same md5_number_lower % (2^31-1) shingle space as the dedup
+    family, so the DuckDB mirror is a distinct-shingle self-join."""
+
+    def eval_hashes(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("doc_id"), pa.scalar(eval_max_id)))
+        if t.num_rows == 0:
+            return pa.table({"x": pa.array([], pa.uint64())})
+        _, sets = _doc_shingles(t, shingle)
+        vals = np.unique(np.concatenate(sets)) if sets else np.empty(0, np.uint64)
+        return pa.table({"x": pa.array(vals, pa.uint64())})
+
+    ev_tables = list(
+        docs.map_batches(eval_hashes, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    ev = np.unique(
+        np.concatenate(
+            [np.asarray(t.column("x").to_numpy(zero_copy_only=False)) for t in ev_tables]
+        )
+        if ev_tables
+        else np.empty(0, np.uint64)
+    ).astype(np.uint64)
+    ref = ray.put(ev)
+
+    def count_overlap(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("doc_id"), pa.scalar(eval_max_id)))
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n_overlap": pa.array([], pa.int64())}
+            )
+        ev_sorted = ray.get(ref)
+        ids, sets = _doc_shingles(t, shingle)
+        lens = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets))
+        flat = np.concatenate(sets) if sets else np.empty(0, np.uint64)
+        hit = np.zeros(len(flat), dtype=np.int64)
+        if len(ev_sorted) and len(flat):
+            pos = np.searchsorted(ev_sorted, flat)
+            in_range = pos < len(ev_sorted)
+            hit[in_range] = (ev_sorted[pos[in_range]] == flat[in_range]).astype(np.int64)
+        offsets = np.r_[0, np.cumsum(lens)][:-1]
+        nz = lens > 0
+        counts = np.zeros(len(ids), dtype=np.int64)
+        if nz.any():
+            counts[nz] = np.add.reduceat(np.r_[hit, 0], offsets[nz])
+        m = counts > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[m], pa.int64()),
+                "n_overlap": pa.array(counts[m], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(count_overlap, batch_format="pyarrow")
+
+
 # -------------------------------------------------------------------- dedup: simhash
 
 

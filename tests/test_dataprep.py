@@ -382,3 +382,34 @@ def test_decode_ppm_real_format():
     assert np.array_equal(img, px)
     with pytest.raises(ValueError):
         decode_ppm(b"P5\n2 2\n255\n" + b"\x00" * 4)
+
+
+def test_contamination_counts_planted(ray_session):
+    """Planted eval overlap: docs copying eval text are flagged with the exact
+    shared-shingle count; clean docs are absent."""
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.dataprep import (
+        contamination_counts,
+        shingle_hashes_words,
+    )
+
+    eval_texts = ["the quick brown fox jumps over dogs", "pack my box with five dozen jugs"]
+    clean = ["completely unrelated content here alpha beta", "another fresh document gamma delta"]
+    leaky = "prefix words then the quick brown fox jumps over dogs suffix"
+    texts = eval_texts + clean + [leaky]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    out = (
+        contamination_counts(ray.data.from_arrow(t).repartition(2), eval_max_id=2)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert 2 not in out.index and 3 not in out.index  # clean docs absent
+    ev = np.union1d(
+        shingle_hashes_words(eval_texts[0].split()), shingle_hashes_words(eval_texts[1].split())
+    )
+    leak_sh = shingle_hashes_words(leaky.split())
+    expect = len(np.intersect1d(ev, leak_sh, assume_unique=True))
+    assert expect > 0 and out.loc[4, "n_overlap"] == expect
