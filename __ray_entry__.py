@@ -1839,6 +1839,49 @@ def q_contamination(sf_dir: str):
     return contamination_counts(_docs_ds(sf_dir), eval_max_id=20)
 
 
+SQL_CLEAN_CORPUS = r"""
+WITH st AS (
+  SELECT doc_id, lower(text) AS low,
+         length(regexp_extract_all(text, '\S+')) AS n_tokens,
+         CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+           / GREATEST(length(text), 1) AS alpha_ratio
+  FROM documents
+),
+mdocs AS (SELECT doc_id, text FROM documents),
+sh AS (
+SELECT doc_id,
+       CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+            WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+            ELSE list_transform(range(1, len(ws) - 1),
+                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+       END AS shingles
+FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM mdocs)
+),
+sgd AS (SELECT DISTINCT doc_id, md5_number_lower(u.sh) % 2147483647::UBIGINT AS x
+        FROM sh, unnest(shingles) u(sh)),
+ev AS (SELECT DISTINCT x FROM sgd WHERE doc_id < 20),
+cont AS (SELECT s.doc_id FROM sgd s JOIN ev USING (x) WHERE s.doc_id >= 20
+         GROUP BY 1 HAVING COUNT(*) >= 8),
+q AS (
+  SELECT doc_id, n_tokens, alpha_ratio, md5(low) AS h FROM st
+  WHERE doc_id >= 20 AND n_tokens >= 24 AND alpha_ratio >= 0.815
+    AND doc_id NOT IN (SELECT doc_id FROM cont)
+)
+SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens,
+       MIN(alpha_ratio) AS alpha_ratio
+FROM q GROUP BY h
+"""
+
+
+def q_clean_corpus(sf_dir: str):
+    """End-to-end corpus cleaning export: quality filter -> eval
+    decontamination -> exact dedup, one streaming composite (the full
+    training-data prep story in a single pipeline)."""
+    from scala_timeseries_lib_ray.pipelines.dataprep import clean_corpus
+
+    return clean_corpus(_docs_ds(sf_dir), eval_max_id=20)
+
+
 SQL_TOKEN_TRENDS = """
 WITH ranked AS (
   SELECT source, doc_id, text,
@@ -1958,6 +2001,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_hash": q_doc_sample_hash,
         "token_trends": q_token_trends,
         "contamination": q_contamination,
+        "clean_corpus": q_clean_corpus,
     }
 
 
@@ -1978,4 +2022,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "doc_sample_hash": SQL_DOC_SAMPLE_HASH,
         "token_trends": SQL_TOKEN_TRENDS,
         "contamination": SQL_CONTAMINATION,
+        "clean_corpus": SQL_CLEAN_CORPUS,
     }

@@ -798,6 +798,102 @@ def contamination_counts(
     return docs.map_batches(count_overlap, batch_format="pyarrow")
 
 
+def clean_corpus(
+    docs: ray.data.Dataset,
+    eval_max_id: int = 20,
+    min_tokens: int = 24,
+    min_alpha: float = 0.815,
+    min_overlap: int = 8,
+    max_contaminated: int = 2_000_000,
+) -> ray.data.Dataset:
+    """The end-to-end corpus cleaning composite a training export runs:
+    quality filter -> eval decontamination -> exact dedup, in ONE streaming
+    pipeline. Output: (doc_id, n_tokens, alpha_ratio) of surviving docs.
+
+    Scale shape per stage:
+    - quality: stateless Arrow-kernel map (alpha ratio + token count), no state;
+    - decontamination: ids with >= ``min_overlap`` shared eval shingles from
+      :func:`contamination_counts` (broadcast sorted array; bounded by
+      ``max_contaminated`` — contamination is small by construction, a
+      corpus-sized flag set means the eval set leaked wholesale and the export
+      should abort, which raising here does);
+    - exact dedup: md5 content hash -> ONE uniform-key groupby keeping the min
+      doc_id; duplicate texts have identical stats, so Min() over the carried
+      columns reproduces the kept doc's values without a join back.
+    Eval docs themselves (doc_id < eval_max_id) are excluded from the export."""
+    flagged_tbl = pa.concat_tables(
+        list(
+            contamination_counts(docs, eval_max_id).iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+        )
+        or [pa.table({"doc_id": pa.array([], pa.int64()), "n_overlap": pa.array([], pa.int64())})]
+    )
+    if flagged_tbl.num_rows > max_contaminated:
+        raise RuntimeError(
+            f"{flagged_tbl.num_rows} contaminated docs exceed max_contaminated="
+            f"{max_contaminated}: eval set leaked wholesale, aborting export"
+        )
+    # substantive leakage only: >= min_overlap shared shingles (a single shared
+    # 3-gram is a common idiom, not contamination)
+    ov = np.asarray(flagged_tbl.column("n_overlap").to_numpy(zero_copy_only=False))
+    flagged = np.sort(
+        np.asarray(flagged_tbl.column("doc_id").to_numpy(zero_copy_only=False))[
+            ov >= min_overlap
+        ]
+    )
+    ref = ray.put(flagged)
+
+    def stage_filter_hash(t: pa.Table) -> pa.Table:
+        bad = ray.get(ref)
+        text = t.column("text")
+        n_chars = pc.utf8_length(text)
+        n_tokens = pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.int64())
+        n_alpha = pc.count_substring_regex(text, r"[A-Za-z]")
+        alpha = pc.divide(
+            pc.cast(n_alpha, pa.float64()),
+            pc.cast(pc.max_element_wise(n_chars, 1), pa.float64()),
+        )
+        ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+        keep = (
+            (ids >= eval_max_id)
+            & (np.asarray(n_tokens.to_numpy(zero_copy_only=False)) >= min_tokens)
+            & (np.asarray(alpha.to_numpy(zero_copy_only=False)) >= min_alpha)
+        )
+        if len(bad):
+            pos = np.searchsorted(bad, ids)
+            pos_ok = pos < len(bad)
+            contaminated = np.zeros(len(ids), dtype=bool)
+            contaminated[pos_ok] = bad[pos[pos_ok]] == ids[pos_ok]
+            keep &= ~contaminated
+        t2 = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": n_tokens,
+                "alpha_ratio": alpha,
+                "text": text,
+            }
+        ).filter(pa.array(keep))
+        lows = pc.utf8_lower(t2.column("text")).to_pylist()
+        h = [hashlib.md5(s.encode()).hexdigest() for s in lows]
+        return t2.drop_columns(["text"]).append_column("text_hash", pa.array(h, pa.string()))
+
+    from ray.data.aggregate import Min
+
+    kept = (
+        docs.map_batches(stage_filter_hash, batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(
+            Min("doc_id", alias_name="doc_id"),
+            Min("n_tokens", alias_name="n_tokens"),
+            Min("alpha_ratio", alias_name="alpha_ratio"),
+        )
+    )
+    return kept.map_batches(
+        lambda t: t.drop_columns(["text_hash"]), batch_format="pyarrow"
+    )
+
+
 # -------------------------------------------------------------------- dedup: simhash
 
 

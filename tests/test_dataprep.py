@@ -413,3 +413,28 @@ def test_contamination_counts_planted(ray_session):
     leak_sh = shingle_hashes_words(leaky.split())
     expect = len(np.intersect1d(ev, leak_sh, assume_unique=True))
     assert expect > 0 and out.loc[4, "n_overlap"] == expect
+
+
+def test_clean_corpus_composite(ray_session):
+    """Each cleaning stage drops exactly its target: low-quality, contaminated
+    (>= min_overlap shared eval shingles), duplicate, and eval docs."""
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.dataprep import clean_corpus
+
+    base = "this sentence has plenty of alphabetic words to pass the quality gate " * 2
+    eval_doc = "secret benchmark question about the meaning of distributed systems and time"
+    texts = [
+        eval_doc,                                    # 0: eval (excluded)
+        base + "unique tail alpha",                  # 1: survivor
+        "1 2 3 4 5 6 7 8 9!!!",                      # 2: low alpha ratio -> dropped
+        base + "unique tail alpha",                  # 3: exact dup of 1 -> dropped
+        base + " " + eval_doc,                       # 4: contaminated -> dropped
+        base + "unique tail beta",                   # 5: survivor
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    out = clean_corpus(
+        ray.data.from_arrow(t).repartition(2),
+        eval_max_id=1, min_tokens=5, min_alpha=0.6, min_overlap=8,
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 5]
