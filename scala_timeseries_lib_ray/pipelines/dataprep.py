@@ -810,42 +810,45 @@ def clean_corpus(
     quality filter -> eval decontamination -> exact dedup, in ONE streaming
     pipeline. Output: (doc_id, n_tokens, alpha_ratio) of surviving docs.
 
-    Scale shape per stage:
-    - quality: stateless Arrow-kernel map (alpha ratio + token count), no state;
-    - decontamination: ids with >= ``min_overlap`` shared eval shingles from
-      :func:`contamination_counts` (broadcast sorted array; bounded by
-      ``max_contaminated`` — contamination is small by construction, a
-      corpus-sized flag set means the eval set leaked wholesale and the export
-      should abort, which raising here does);
-    - exact dedup: md5 content hash -> ONE uniform-key groupby keeping the min
-      doc_id; duplicate texts have identical stats, so Min() over the carried
-      columns reproduces the kept doc's values without a join back.
-    Eval docs themselves (doc_id < eval_max_id) are excluded from the export."""
-    flagged_tbl = pa.concat_tables(
-        list(
-            contamination_counts(docs, eval_max_id).iter_batches(
-                batch_size=None, batch_format="pyarrow"
-            )
+    Scale shape — TWO streaming passes total (a doc's contamination flag
+    depends only on the doc itself plus the broadcast eval union, so there is
+    no cross-doc dependency and no flagged-id collect):
+    - pass 1 (tiny): eval shingle-hash union, broadcast sorted via ray.put;
+    - pass 2: per batch, quality kernels + in-batch overlap count (searchsorted
+      membership + per-doc reduceat) + md5 content hash, filtered locally;
+    - exact dedup: ONE uniform-key groupby keeping the min doc_id; duplicate
+      texts have identical stats, so Min() over the carried columns reproduces
+      the kept doc's values without a join back.
+    Eval docs themselves (doc_id < eval_max_id) are excluded from the export.
+    ``max_contaminated`` is retained for API compatibility (the wholesale-leak
+    abort belongs to the standalone :func:`contamination_counts` report; here
+    contaminated docs are dropped in-stream and never collected)."""
+    del max_contaminated
+
+    def eval_hashes(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("doc_id"), pa.scalar(eval_max_id)))
+        if t.num_rows == 0:
+            return pa.table({"x": pa.array([], pa.uint64())})
+        _, sets = _doc_shingles(t, "word3")
+        vals = np.unique(np.concatenate(sets)) if sets else np.empty(0, np.uint64)
+        return pa.table({"x": pa.array(vals, pa.uint64())})
+
+    ev_tables = list(
+        docs.map_batches(eval_hashes, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
         )
-        or [pa.table({"doc_id": pa.array([], pa.int64()), "n_overlap": pa.array([], pa.int64())})]
     )
-    if flagged_tbl.num_rows > max_contaminated:
-        raise RuntimeError(
-            f"{flagged_tbl.num_rows} contaminated docs exceed max_contaminated="
-            f"{max_contaminated}: eval set leaked wholesale, aborting export"
+    ev = np.unique(
+        np.concatenate(
+            [np.asarray(t.column("x").to_numpy(zero_copy_only=False)) for t in ev_tables]
         )
-    # substantive leakage only: >= min_overlap shared shingles (a single shared
-    # 3-gram is a common idiom, not contamination)
-    ov = np.asarray(flagged_tbl.column("n_overlap").to_numpy(zero_copy_only=False))
-    flagged = np.sort(
-        np.asarray(flagged_tbl.column("doc_id").to_numpy(zero_copy_only=False))[
-            ov >= min_overlap
-        ]
-    )
-    ref = ray.put(flagged)
+        if ev_tables
+        else np.empty(0, np.uint64)
+    ).astype(np.uint64)
+    ref = ray.put(ev)
 
     def stage_filter_hash(t: pa.Table) -> pa.Table:
-        bad = ray.get(ref)
+        ev_sorted = ray.get(ref)
         text = t.column("text")
         n_chars = pc.utf8_length(text)
         n_tokens = pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.int64())
@@ -860,12 +863,23 @@ def clean_corpus(
             & (np.asarray(n_tokens.to_numpy(zero_copy_only=False)) >= min_tokens)
             & (np.asarray(alpha.to_numpy(zero_copy_only=False)) >= min_alpha)
         )
-        if len(bad):
-            pos = np.searchsorted(bad, ids)
-            pos_ok = pos < len(bad)
-            contaminated = np.zeros(len(ids), dtype=bool)
-            contaminated[pos_ok] = bad[pos[pos_ok]] == ids[pos_ok]
-            keep &= ~contaminated
+        if len(ev_sorted) and keep.any():
+            # in-batch overlap count over quality-surviving docs only
+            sub = t.filter(pa.array(keep))
+            _, sets = _doc_shingles(sub, "word3")
+            lens = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets))
+            flat = np.concatenate(sets) if sets else np.empty(0, np.uint64)
+            hit = np.zeros(len(flat), dtype=np.int64)
+            if len(flat):
+                pos = np.searchsorted(ev_sorted, flat)
+                in_range = pos < len(ev_sorted)
+                hit[in_range] = (ev_sorted[pos[in_range]] == flat[in_range]).astype(np.int64)
+            offsets = np.r_[0, np.cumsum(lens)][:-1]
+            nz = lens > 0
+            counts = np.zeros(len(sets), dtype=np.int64)
+            if nz.any():
+                counts[nz] = np.add.reduceat(np.r_[hit, 0], offsets[nz])
+            keep[keep] = counts < min_overlap
         t2 = pa.table(
             {
                 "doc_id": t.column("doc_id"),
