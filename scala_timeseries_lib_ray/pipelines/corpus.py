@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from .dataprep import _WORD_SPLIT_RE, md5_u64
+from .dataprep import _WORD_SPLIT_RE, md5_u64, md5_u64_strings
 
 
 def _token_counts_batch(t: pa.Table) -> pa.Table:
@@ -262,7 +262,7 @@ def hash_sample(
 
     def f(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False))
-        h = md5_u64([str(int(i)) for i in ids])
+        h = md5_u64_strings(pc.cast(t.column(id_col), pa.string()))
         return t.filter(pa.array((h % np.uint64(mod)) == np.uint64(keep)))
 
     return docs.map_batches(f, batch_format="pyarrow")

@@ -120,6 +120,135 @@ def md5_u64(strings) -> np.ndarray:
     return out
 
 
+# Vectorized single-block MD5 (RFC 1321) across a batch of short messages.
+# Messages <= 55 utf-8 bytes fit one 64-byte MD5 block after padding, so the
+# whole 64-round compression runs as numpy uint32 ops over N messages at once
+# — no per-string hashlib call. Exactly bit-identical to hashlib.md5 (pytest
+# fuzzes the boundary); longer strings fall back to the per-string loop.
+_MD5_K = (np.abs(np.sin(np.arange(1, 65, dtype=np.float64))) * float(1 << 32)).astype(
+    np.uint64
+).astype(np.uint32)
+_MD5_S = np.array(
+    [7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4 + [4, 11, 16, 23] * 4 + [6, 10, 15, 21] * 4,
+    dtype=np.uint32,
+)
+_MD5_SHORT_MAX = 55  # 64-byte block minus 0x80 pad byte minus 8-byte bit length
+_MD5_CHUNK = 16384  # messages per vectorized chunk (working set ~1.3 MB, fits cache)
+
+
+def _md5_u64_vec_short(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """md5_u64 over N messages given as a flat uint8 buffer + (N+1) offsets,
+    every message <= 55 bytes. Returns uint64 of digest bytes 8..16 (the C/D
+    state words), matching DuckDB md5_number_lower semantics used throughout."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    lens = np.diff(offsets)
+    n = len(lens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n > _MD5_CHUNK:  # keep the working set inside L2: ~20 live uint32 arrays
+        out = np.empty(n, dtype=np.uint64)
+        for i in range(0, n, _MD5_CHUNK):
+            out[i : i + _MD5_CHUNK] = _md5_u64_vec_short(
+                data, offsets[i : i + _MD5_CHUNK + 1]
+            )
+        return out
+    M = np.zeros((n, 64), dtype=np.uint8)
+    base = offsets[0]
+    starts = offsets[:-1] - base
+    total = int(offsets[-1] - base)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    M.ravel()[rows * 64 + within] = data[base : offsets[-1]]
+    M[np.arange(n), lens] = 0x80
+    W = M.view(np.uint32)  # (n, 16); little-endian platform (x86/arm64)
+    W[:, 14] = (lens * 8).astype(np.uint32)  # bit length < 2^9, high word stays 0
+    W = np.ascontiguousarray(W.T)  # (16, n): each round reads one contiguous row
+    a = np.full(n, 0x67452301, np.uint32)
+    b = np.full(n, 0xEFCDAB89, np.uint32)
+    c = np.full(n, 0x98BADCFE, np.uint32)
+    d = np.full(n, 0x10325476, np.uint32)
+    f = np.empty(n, np.uint32)
+    t = np.empty(n, np.uint32)
+    x = np.empty(n, np.uint32)
+    with np.errstate(over="ignore"):
+        for i in range(64):
+            if i < 16:  # F = (B & C) | (~B & D)
+                np.bitwise_and(b, c, out=f)
+                np.bitwise_not(b, out=t)
+                np.bitwise_and(t, d, out=t)
+                np.bitwise_or(f, t, out=f)
+                g = i
+            elif i < 32:  # G = (D & B) | (~D & C)
+                np.bitwise_and(d, b, out=f)
+                np.bitwise_not(d, out=t)
+                np.bitwise_and(t, c, out=t)
+                np.bitwise_or(f, t, out=f)
+                g = (5 * i + 1) % 16
+            elif i < 48:  # H = B ^ C ^ D
+                np.bitwise_xor(b, c, out=f)
+                np.bitwise_xor(f, d, out=f)
+                g = (3 * i + 5) % 16
+            else:  # I = C ^ (B | ~D)
+                np.bitwise_not(d, out=f)
+                np.bitwise_or(f, b, out=f)
+                np.bitwise_xor(f, c, out=f)
+                g = (7 * i) % 16
+            np.add(f, a, out=x)
+            np.add(x, _MD5_K[i], out=x)
+            np.add(x, W[g], out=x)
+            s = _MD5_S[i]
+            np.left_shift(x, s, out=t)
+            np.right_shift(x, np.uint32(32 - s), out=x)
+            np.bitwise_or(t, x, out=x)
+            np.add(b, x, out=a)  # old a's buffer is free post-rotation: it holds new B
+            a, b, c, d = d, a, b, c
+        c = c + np.uint32(0x98BADCFE)
+        d = d + np.uint32(0x10325476)
+    return c.astype(np.uint64) | (d.astype(np.uint64) << np.uint64(32))
+
+
+def _string_array_bytes(sa: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (flat utf8 bytes, int64 offsets) view of a pyarrow string array."""
+    if isinstance(sa, pa.ChunkedArray):
+        sa = sa.combine_chunks()
+    if pa.types.is_large_string(sa.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    bufs = sa.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[sa.offset : sa.offset + len(sa) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    return data, offs.astype(np.int64)
+
+
+def md5_u64_strings(sa: pa.Array) -> np.ndarray:
+    """md5_u64 over a pyarrow string array: vectorized single-block MD5 for
+    messages <= 55 bytes, hashlib fallback for the rest. Value-identical to
+    ``md5_u64(sa.to_pylist())`` without materializing Python strings."""
+    if isinstance(sa, pa.ChunkedArray):
+        sa = sa.combine_chunks()
+    data, offs = _string_array_bytes(sa)
+    lens = np.diff(offs)
+    n = len(lens)
+    out = np.empty(n, dtype=np.uint64)
+    short = lens <= _MD5_SHORT_MAX
+    if short.all():
+        return _md5_u64_vec_short(data, offs)
+    # compact the short messages into one contiguous buffer
+    seg = data[offs[0] : offs[-1]]
+    bytemask = short[np.repeat(np.arange(n), lens)]
+    sdata = seg[bytemask]
+    soffs = np.concatenate([[0], np.cumsum(lens[short])])
+    out[short] = _md5_u64_vec_short(sdata, soffs)
+    long_pos = np.flatnonzero(~short)
+    md5 = hashlib.md5
+    fb = int.from_bytes
+    for i in long_pos:
+        msg = data[offs[i] : offs[i + 1]].tobytes()
+        out[i] = fb(md5(msg).digest()[8:], "little")
+    return out
+
+
 _POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1).astype(np.uint8)
 
 
@@ -303,7 +432,7 @@ def _char_shingle_sets_batch(lows: list[str], n: int = 5) -> list[np.ndarray]:
         tmp = tmp >> np.uint64(bits)
     allstr = mat.tobytes().decode("utf-32-le")
     grams = [allstr[i * n : (i + 1) * n] for i in range(len(vocab))]
-    vocab_h = md5_u64(grams) % np.uint64(_M31)
+    vocab_h = md5_u64_strings(pa.array(grams)) % np.uint64(_M31)
     hashes = vocab_h[inv]
     # per-doc sorted distinct via one lexsort + adjacent dedup + segment split
     order = np.lexsort((hashes, vdoc))
@@ -314,6 +443,60 @@ def _char_shingle_sets_batch(lows: list[str], n: int = 5) -> list[np.ndarray]:
     for j, i in enumerate(long_idx):
         out[i] = hh[bounds[j] : bounds[j + 1]]
     return out
+
+
+def _word_shingle_flat_batch(t: pa.Table, k: int = 3) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fully vectorized word-k-shingle hashing, value-identical per doc to
+    :func:`shingle_hashes_words` (pytest asserts it): Arrow lower+split
+    tokenizer, shingle strings built with ``binary_join_element_wise`` over
+    k shifted slices of the flattened word array (no Python strings), then the
+    vectorized single-block MD5. Returns (doc_ids, flat_hashes, doc_offsets)
+    with each doc's hashes sorted distinct."""
+    ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+    ndocs = len(ids)
+    low = pc.utf8_lower(t.column("text"))
+    lists = pc.split_pattern_regex(low, _WORD_SPLIT_RE)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    wcounts = np.asarray(pc.list_value_length(lists).to_numpy(zero_copy_only=False), np.int64)
+    words = lists.flatten()
+    wl = np.asarray(pc.binary_length(words).to_numpy(zero_copy_only=False))
+    nonempty = wl > 0
+    W = words.filter(pa.array(nonempty))  # real tokens, in doc order
+    docpos = np.repeat(np.arange(ndocs, dtype=np.int64), wcounts)[nonempty]
+    counts = np.bincount(docpos, minlength=ndocs) if len(docpos) else np.zeros(ndocs, np.int64)
+    total = len(W)
+    hash_parts: list[np.ndarray] = []
+    vdocs: list[np.ndarray] = []
+    if total >= k:
+        parts = [W.slice(j, total - k + 1) for j in range(k)]
+        joined = pc.binary_join_element_wise(*parts, " ")
+        valid = docpos[: total - k + 1] == docpos[k - 1 :]  # window inside one doc
+        if valid.any():
+            jv = joined.filter(pa.array(valid))
+            hash_parts.append(md5_u64_strings(jv) % np.uint64(_M31))
+            vdocs.append(docpos[: total - k + 1][valid])
+    shorts = np.flatnonzero((counts > 0) & (counts < k))  # one shingle = all words
+    if len(shorts):
+        starts = np.searchsorted(docpos, shorts, side="left")
+        ends = np.searchsorted(docpos, shorts, side="right")
+        take_idx = np.concatenate([np.arange(s, e) for s, e in zip(starts, ends)])
+        wsub = W.take(pa.array(take_idx))
+        offs = np.concatenate([[0], np.cumsum(ends - starts)])
+        la = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), wsub)
+        hash_parts.append(md5_u64_strings(pc.binary_join(la, " ")) % np.uint64(_M31))
+        vdocs.append(shorts.astype(np.int64))
+    if hash_parts:
+        hh = np.concatenate(hash_parts)
+        dd = np.concatenate(vdocs)
+        order = np.lexsort((hh, dd))
+        dd, hh = dd[order], hh[order]
+        keep = np.r_[True, (dd[1:] != dd[:-1]) | (hh[1:] != hh[:-1])]
+        dd, hh = dd[keep], hh[keep]
+    else:
+        dd, hh = np.empty(0, np.int64), np.empty(0, np.uint64)
+    bounds = np.searchsorted(dd, np.arange(ndocs + 1))
+    return ids, hh, bounds
 
 
 def _doc_shingles(t: pa.Table, shingle: str) -> tuple[np.ndarray, list[np.ndarray]]:
@@ -331,10 +514,13 @@ def shingle_hash_lists_batch(t: pa.Table, shingle: str) -> pa.Table:
     """docs -> (doc_id, hashes:list<uint64>) — the ONE pass that touches text.
     Band keys and Jaccard verification both derive from this table, so the
     (expensive) shingling kernel never runs twice over the same doc."""
-    ids, sets = _doc_shingles(t, shingle)
-    lens = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets))
-    offsets = np.concatenate([[0], np.cumsum(lens)])
-    values = np.concatenate(sets) if sets else np.empty(0, np.uint64)
+    if shingle == "word3":
+        ids, values, offsets = _word_shingle_flat_batch(t, 3)
+    else:
+        ids, sets = _doc_shingles(t, shingle)
+        lens = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets))
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        values = np.concatenate(sets) if sets else np.empty(0, np.uint64)
     hashes = pa.ListArray.from_arrays(
         pa.array(offsets, pa.int32()), pa.array(values, pa.uint64())
     )
@@ -400,7 +586,7 @@ def bands_from_hash_lists(t: pa.Table, bands: int) -> pa.Table:
                 *[pc.cast(pa.array(m), pa.string()) for m in grp], "|"
             )
             hi = np.zeros(nd, dtype=np.uint64)
-            lo = md5_u64(joined.to_pylist())
+            lo = md5_u64_strings(joined)
         out_hi.append(hi)
         out_lo.append(lo)
         # uniform partition of the (band, key) space for the cluster candidate
@@ -930,7 +1116,7 @@ def simhash_batch(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": pa.array([], pa.int64()), "simhash": pa.array([], pa.int64())})
     uniq = pc.unique(flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat)
     codes = np.asarray(pc.index_in(flat, value_set=uniq).to_numpy(zero_copy_only=False))
-    h = md5_u64(uniq.to_pylist())
+    h = md5_u64_strings(uniq)
     V = len(uniq)
     dk = np.unique(doc_idx.astype(np.int64) * V + codes)  # distinct (doc, word), doc-sorted
     d_idx = (dk // V).astype(np.int64)
