@@ -438,3 +438,52 @@ def test_clean_corpus_composite(ray_session):
         eval_max_id=1, min_tokens=5, min_alpha=0.6, min_overlap=8,
     ).to_pandas()
     assert sorted(out["doc_id"]) == [1, 5]
+
+
+def test_md5_vec_parity_with_hashlib():
+    """The vectorized single-block MD5 is bit-identical to hashlib across the
+    0..70-byte range (both sides of the 55-byte single-block boundary), unicode,
+    and empty strings — md5_number_lower parity is what every dedup oracle
+    hangs off."""
+    import random
+    import string
+
+    from scala_timeseries_lib_ray.pipelines.dataprep import md5_u64, md5_u64_strings
+
+    rng = random.Random(13)
+    strs = ["".join(rng.choice(string.printable) for _ in range(n)) for n in range(71)]
+    strs += ["", "a" * 55, "b" * 56, "héllo wörld", "日本語テスト", "x" * 200]
+    got = md5_u64_strings(pa.array(strs))
+    exp = md5_u64(strs)
+    assert (got == exp).all()
+
+
+def test_word_shingle_batch_matches_scalar():
+    """The Arrow-native word3 shingle kernel emits exactly the per-doc sorted
+    distinct hash sets of the scalar reference path, including empty docs,
+    sub-k-word docs, punctuation-only docs, and unicode separators."""
+    from scala_timeseries_lib_ray.pipelines.dataprep import (
+        _doc_words,
+        shingle_hash_lists_batch,
+        shingle_hashes_words,
+    )
+
+    texts = [
+        "hello world foo bar",
+        "",
+        "one",
+        "two words",
+        "dup dup dup dup dup",
+        "Mixed CASE, punct!!! and   spaces",
+        "héllo wörld müller straße",
+        ",,,,",
+        "tab\tsep\nnewline word here",
+        "a b c a b c a b c",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    out = shingle_hash_lists_batch(t, "word3").column("hashes").combine_chunks()
+    _, words = _doc_words(t)
+    for i, ws in enumerate(words):
+        exp = shingle_hashes_words(ws)
+        got = np.asarray(out[i].values.to_numpy(zero_copy_only=False), np.uint64)
+        assert np.array_equal(exp, got), (i, texts[i])
