@@ -64,7 +64,10 @@ def _combine_counts(t: pa.Table, keys: tuple[str, ...] = ("word",)) -> pa.Table:
 
 
 def token_topk(
-    docs: ray.data.Dataset, k: int = 100, fanin: tuple[int, ...] = (32, 1)
+    docs: ray.data.Dataset,
+    k: int = 100,
+    fanin: tuple[int, ...] = (32, 1),
+    combine: str = "tree",
 ) -> ray.data.Dataset:
     """Global top-k word frequencies with a deterministic (cnt desc, word asc)
     tie-break.
@@ -77,10 +80,20 @@ def token_topk(
     docs — string-key sort shuffle), so the tree is the default here exactly as
     in ``stages/rollup._tree_combine``. The root fan-in of 1 bounds the last
     task at ``fanin[-2] × |vocab|`` rows — fine for any real tokenizer
-    vocabulary; for an unbounded key space raise the root fan-in and keep only
-    per-block top-k candidates (exactness then needs a word-hash exchange:
-    ``groupby`` mode of the rollup stages)."""
+    vocabulary; for an unbounded key space pass ``combine="groupby"``: a
+    word-hash exchange co-locates each key exactly once, per-block top-k
+    candidates then merge exactly in the root (a global top-k word is by
+    definition in its own block's top-k), so no task ever holds the full
+    vocabulary."""
     counts = docs.map_batches(_token_counts_batch, batch_format="pyarrow")
+    if combine == "groupby":
+        from ray.data.aggregate import Sum
+
+        g = counts.groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
+        cands = g.map_batches(lambda t: _topk_table(t, k), batch_format="pyarrow")
+        return cands.repartition(1).map_batches(
+            lambda t: _topk_table(t, k), batch_size=None, batch_format="pyarrow"
+        )
     for f in fanin[:-1]:
         counts = counts.repartition(f).map_batches(
             _combine_counts, batch_size=None, batch_format="pyarrow"
@@ -176,6 +189,7 @@ def token_trends(
     width: int,
     k: int = 3,
     fanin: tuple[int, ...] = (32,),
+    combine: str = "tree",
 ) -> ray.data.Dataset:
     """Top-k tokens PER TIME BUCKET (trending-vocabulary / drift monitoring):
     the windowed composition of :func:`token_topk` with the engine's bucket
@@ -184,8 +198,10 @@ def token_trends(
 
     Same scale shape as token_topk: per-batch Arrow hash-aggregate partials on
     (bucket, word), map-only tree combine, per-bucket top-k extracted in the
-    root task (bounded at fanin[-1] × |buckets × vocab| rows — partition the
-    bucket range across root tasks when the cross product outgrows one block)."""
+    root task (bounded at fanin[-1] × |buckets × vocab| rows). When the
+    bucket × vocab cross product outgrows one block, pass ``combine="groupby"``:
+    the (bucket, word) exchange makes every key globally unique, so per-block
+    per-bucket top-k candidates merge exactly in a (buckets × k)-sized root."""
 
     def partial(t: pa.Table) -> pa.Table:
         ts = np.asarray(t.column("ts").to_numpy(zero_copy_only=False))
@@ -211,12 +227,17 @@ def token_trends(
         return _combine_counts(raw, ("bucket_ts", "word"))
 
     hist = docs_ts.map_batches(partial, batch_format="pyarrow")
-    for f in fanin:
-        hist = hist.repartition(f).map_batches(
-            lambda t: _combine_counts(t, ("bucket_ts", "word")),
-            batch_size=None,
-            batch_format="pyarrow",
-        )
+    if combine == "groupby":
+        from ray.data.aggregate import Sum
+
+        hist = hist.groupby(["bucket_ts", "word"]).aggregate(Sum("cnt", alias_name="cnt"))
+    else:
+        for f in fanin:
+            hist = hist.repartition(f).map_batches(
+                lambda t: _combine_counts(t, ("bucket_ts", "word")),
+                batch_size=None,
+                batch_format="pyarrow",
+            )
 
     def per_bucket_topk(t: pa.Table) -> pa.Table:
         t = _combine_counts(t, ("bucket_ts", "word"))
@@ -245,6 +266,10 @@ def token_trends(
             }
         )
 
+    if combine == "groupby":
+        # keys are globally unique post-exchange: per-block per-bucket top-k
+        # candidates bound the root at |blocks| x |buckets| x k rows
+        hist = hist.map_batches(per_bucket_topk, batch_format="pyarrow")
     return hist.repartition(1).map_batches(
         per_bucket_topk, batch_size=None, batch_format="pyarrow"
     )

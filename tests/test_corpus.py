@@ -173,3 +173,38 @@ def test_token_trends_per_bucket_topk(ray_session):
         expect += [(b, w, c) for w, c in top]
     got = sorted(zip(out["bucket_ts"], out["word"], out["cnt"]))
     assert got == sorted(expect)
+
+
+def test_token_topk_groupby_combine_matches_tree(ray_session):
+    """combine='groupby' (word-hash exchange, bounded root) is value-identical
+    to the tree combine — the unbounded-key-space path stays exact."""
+    import ray.data
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 25)).tolist()) for _ in range(300)
+    ]
+    ds = ray.data.from_arrow(_docs_table(texts)).repartition(5)
+    tree = token_topk(ds, k=12).to_pandas()
+    grp = token_topk(ds, k=12, combine="groupby").to_pandas()
+    assert list(zip(tree["word"], tree["cnt"])) == list(zip(grp["word"], grp["cnt"]))
+
+
+def test_token_trends_groupby_combine_matches_tree(ray_session):
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.corpus import token_trends
+
+    rng = np.random.default_rng(29)
+    n = 400
+    ts = rng.integers(0, 4 * 60_000, size=n).astype(np.int64)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 9))) for _ in range(n)]
+    t = pa.table({"ts": pa.array(ts), "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t).repartition(4)
+    tree = token_trends(ds, width=60_000, k=2).to_pandas()
+    grp = token_trends(ds, width=60_000, k=2, combine="groupby").to_pandas()
+    assert sorted(zip(tree["bucket_ts"], tree["word"], tree["cnt"])) == sorted(
+        zip(grp["bucket_ts"], grp["word"], grp["cnt"])
+    )
