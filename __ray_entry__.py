@@ -1809,6 +1809,36 @@ SELECT doc_id, source, n_chars FROM documents
 WHERE md5_number_lower(doc_id::VARCHAR) % 20 = 0
 """
 
+SQL_REPETITION_STATS = """
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+uni AS (SELECT doc_id, u.w AS word, COUNT(*)::BIGINT AS c FROM w, unnest(ws) u(w) GROUP BY 1, 2),
+us AS (SELECT doc_id, COUNT(*)::BIGINT AS n_distinct, MAX(c) AS top_word_cnt,
+              SUM(c)::BIGINT AS n_words
+       FROM uni GROUP BY 1),
+bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b, COUNT(*)::BIGINT AS c
+       FROM w, unnest(range(1, len(ws))) t(i) GROUP BY 1, 2),
+bs AS (SELECT doc_id, MAX(c) AS top_bigram_cnt FROM bg GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(us.n_words, 0)::BIGINT AS n_words,
+       COALESCE(us.n_distinct, 0)::BIGINT AS n_distinct,
+       COALESCE(us.top_word_cnt, 0)::BIGINT AS top_word_cnt,
+       GREATEST(COALESCE(us.n_words, 0) - 1, 0)::BIGINT AS n_bigrams,
+       COALESCE(bs.top_bigram_cnt, 0)::BIGINT AS top_bigram_cnt,
+       COALESCE(us.top_word_cnt, 0)::DOUBLE / GREATEST(COALESCE(us.n_words, 0), 1) AS top_word_frac,
+       COALESCE(us.n_distinct, 0)::DOUBLE / GREATEST(COALESCE(us.n_words, 0), 1) AS distinct_ratio,
+       COALESCE(bs.top_bigram_cnt, 0)::DOUBLE / GREATEST(COALESCE(us.n_words, 0) - 1, 1)
+           AS top_bigram_frac
+FROM documents d LEFT JOIN us USING (doc_id) LEFT JOIN bs USING (doc_id)
+"""
+
+SQL_DUP_NGRAMS = """
+WITH w AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+g AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS gram
+      FROM w, unnest(range(1, len(ws) - 3)) t(i)),
+c AS (SELECT gram, COUNT(*)::BIGINT AS cnt FROM g GROUP BY 1)
+SELECT gram, cnt FROM c WHERE cnt >= 2 ORDER BY cnt DESC, gram LIMIT 50
+"""
+
 
 SQL_CONTAMINATION = """
 WITH mdocs AS (SELECT doc_id, text FROM documents),
@@ -1953,6 +1983,24 @@ def q_token_topk(sf_dir: str):
     return token_topk(_docs_ds(sf_dir), k=100)
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-family per-doc repetition metrics (top-word / top-bigram fractions,
+    distinct ratio): stateless vectorized map_batches, no shuffle. Oracle mirrors
+    every count and the exact int/int IEEE divisions."""
+    from scala_timeseries_lib_ray.pipelines.corpus import repetition_stats
+
+    return repetition_stats(_docs_ds(sf_dir))
+
+
+def q_dup_ngrams(sf_dir: str):
+    """Corpus-wide repeated word-5-gram heavy hitters (C4-style boilerplate
+    detection): per-batch Arrow hash-count partials -> tree combine -> top-50 of
+    grams with cnt >= 2, deterministic (cnt desc, gram asc)."""
+    from scala_timeseries_lib_ray.pipelines.corpus import duplicate_ngrams
+
+    return duplicate_ngrams(_docs_ds(sf_dir), n=5, min_count=2, k=50)
+
+
 def q_doc_quantiles(sf_dir: str):
     """Exact per-source n_chars quantiles via the distributed counting histogram
     (shuffle carries (source, value, cnt) rows only; DuckDB quantile_disc rule)."""
@@ -2002,6 +2050,8 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "token_trends": q_token_trends,
         "contamination": q_contamination,
         "clean_corpus": q_clean_corpus,
+        "repetition_stats": q_repetition_stats,
+        "dup_ngrams": q_dup_ngrams,
     }
 
 
@@ -2023,4 +2073,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "token_trends": SQL_TOKEN_TRENDS,
         "contamination": SQL_CONTAMINATION,
         "clean_corpus": SQL_CLEAN_CORPUS,
+        "repetition_stats": SQL_REPETITION_STATS,
+        "dup_ngrams": SQL_DUP_NGRAMS,
     }

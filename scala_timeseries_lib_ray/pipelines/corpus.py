@@ -291,3 +291,159 @@ def hash_sample(
         return t.filter(pa.array((h % np.uint64(mod)) == np.uint64(keep)))
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def _word_codes_batch(t: pa.Table) -> tuple[np.ndarray, pa.Array, np.ndarray, np.ndarray]:
+    """Shared tokenizer front-end: (doc_ids, flat word array, per-word doc index,
+    per-doc word counts) — empty tokens already dropped, everything vectorized."""
+    ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+    low = pc.utf8_lower(t.column("text"))
+    lists = pc.split_pattern_regex(low, _WORD_SPLIT_RE)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    wcounts = np.asarray(pc.list_value_length(lists).to_numpy(zero_copy_only=False), np.int64)
+    words = lists.flatten()
+    nonempty = np.asarray(
+        pc.not_equal(pc.binary_length(words), 0).to_numpy(zero_copy_only=False)
+    )
+    W = words.filter(pa.array(nonempty))
+    docpos = np.repeat(np.arange(len(ids), dtype=np.int64), wcounts)[nonempty]
+    counts = (
+        np.bincount(docpos, minlength=len(ids)).astype(np.int64)
+        if len(docpos)
+        else np.zeros(len(ids), np.int64)
+    )
+    return ids, W, docpos, counts
+
+
+def repetition_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-doc repetition/quality metrics in the Gopher-rules family: word count,
+    distinct-word count, the top word's occurrence count, bigram count and the
+    top bigram's occurrence count, plus the derived fractions (top_word_frac,
+    distinct_ratio, top_bigram_frac — exact int/int IEEE divisions, denominator
+    clamped to >=1 so empty docs emit zeros, mirroring the SQL oracle verbatim).
+
+    High top_word_frac / top_bigram_frac or low distinct_ratio flags the
+    boilerplate and looped text a pretraining filter drops. Stateless
+    map_batches — no shuffle, embarrassingly parallel at any scale."""
+
+    def f(t: pa.Table) -> pa.Table:
+        ids, W, docpos, counts = _word_codes_batch(t)
+        nd = len(ids)
+        codes_arr = pc.dictionary_encode(W)
+        codes = (
+            np.asarray(codes_arr.indices.to_numpy(zero_copy_only=False), np.int64)
+            if len(W)
+            else np.empty(0, np.int64)
+        )
+        n_words = counts
+        n_distinct = np.zeros(nd, np.int64)
+        top_word = np.zeros(nd, np.int64)
+        if len(codes):
+            order = np.lexsort((codes, docpos))
+            d, c = docpos[order], codes[order]
+            new = np.r_[True, (d[1:] != d[:-1]) | (c[1:] != c[:-1])]
+            gid = np.cumsum(new) - 1
+            run = np.arange(len(d)) - np.flatnonzero(new)[gid]  # 0-based pos in run
+            cnt_per = np.bincount(gid)  # occurrences of each (doc, word)
+            gdoc = d[new]
+            n_distinct = np.bincount(gdoc, minlength=nd).astype(np.int64)
+            np.maximum.at(top_word, gdoc, cnt_per)
+        n_bigrams = np.maximum(counts - 1, 0)
+        top_bigram = np.zeros(nd, np.int64)
+        if len(codes) > 1:
+            a, b = codes[:-1], codes[1:]
+            same = docpos[:-1] == docpos[1:]
+            bd, ba, bb = docpos[:-1][same], a[same], b[same]
+            order = np.lexsort((bb, ba, bd))
+            bd, ba, bb = bd[order], ba[order], bb[order]
+            new = np.r_[True, (bd[1:] != bd[:-1]) | (ba[1:] != ba[:-1]) | (bb[1:] != bb[:-1])]
+            gid = np.cumsum(new) - 1
+            cnt_per = np.bincount(gid)
+            np.maximum.at(top_bigram, bd[new], cnt_per)
+        denw = np.maximum(n_words, 1).astype(np.float64)
+        denb = np.maximum(n_bigrams, 1).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_distinct": pa.array(n_distinct, pa.int64()),
+                "top_word_cnt": pa.array(top_word, pa.int64()),
+                "n_bigrams": pa.array(n_bigrams, pa.int64()),
+                "top_bigram_cnt": pa.array(top_bigram, pa.int64()),
+                "top_word_frac": pa.array(top_word / denw),
+                "distinct_ratio": pa.array(n_distinct / denw),
+                "top_bigram_frac": pa.array(top_bigram / denb),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def duplicate_ngrams(
+    docs: ray.data.Dataset,
+    n: int = 5,
+    min_count: int = 2,
+    k: int = 50,
+    combine: str = "tree",
+    fanin: tuple[int, ...] = (32,),
+) -> ray.data.Dataset:
+    """Corpus-wide repeated word-n-gram heavy hitters: every n-word window of
+    every doc (all occurrences, not per-doc distinct), counted across the whole
+    corpus; returns the top-k grams with count >= min_count, ordered
+    (cnt desc, gram asc). The C4/Gopher-style signal for cross-document
+    boilerplate — the grams worth stripping or down-weighting.
+
+    Scale shape = token_topk over n-grams: per-batch Arrow hash-count partials
+    (gram strings built by binary_join_element_wise over n shifted slices — no
+    Python strings), tree combine by default, ``combine='groupby'`` for
+    unbounded gram spaces (per-block top-k candidates merge exactly after the
+    key exchange ONLY when min_count filtering happens post-merge, which is how
+    it's wired)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, W, docpos, _ = _word_codes_batch(t)
+        total = len(W)
+        empty = pa.table(
+            {"gram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+        if total < n:
+            return empty
+        parts = [W.slice(j, total - n + 1) for j in range(n)]
+        joined = pc.binary_join_element_wise(*parts, " ")
+        valid = docpos[: total - n + 1] == docpos[n - 1 :]
+        if not valid.any():
+            return empty
+        vc = pc.value_counts(joined.filter(pa.array(valid)))
+        return pa.table(
+            {"gram": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+        )
+
+    counts = docs.map_batches(partial, batch_format="pyarrow")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = _combine_counts(t, ("gram",))
+        t = t.filter(pc.greater_equal(t.column("cnt"), min_count))
+        g = np.asarray(t.column("gram").to_numpy(zero_copy_only=False))
+        c = np.asarray(t.column("cnt").to_numpy(zero_copy_only=False))
+        order = np.lexsort((g, -c))[:k]
+        return pa.table({"gram": pa.array(g[order]), "cnt": pa.array(c[order], pa.int64())})
+
+    if combine == "groupby":
+        from ray.data.aggregate import Sum
+
+        g = counts.groupby("gram").aggregate(Sum("cnt", alias_name="cnt"))
+        # per-block candidates: keep top-k by count among grams >= min_count
+        cands = g.map_batches(
+            lambda t: finalize(t), batch_format="pyarrow"
+        )
+        return cands.repartition(1).map_batches(
+            finalize, batch_size=None, batch_format="pyarrow"
+        )
+    for f in fanin:
+        counts = counts.repartition(f).map_batches(
+            lambda t: _combine_counts(t, ("gram",)), batch_size=None, batch_format="pyarrow"
+        )
+    return counts.repartition(1).map_batches(
+        finalize, batch_size=None, batch_format="pyarrow"
+    )

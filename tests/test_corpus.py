@@ -208,3 +208,57 @@ def test_token_trends_groupby_combine_matches_tree(ray_session):
     assert sorted(zip(tree["bucket_ts"], tree["word"], tree["cnt"])) == sorted(
         zip(grp["bucket_ts"], grp["word"], grp["cnt"])
     )
+
+
+def test_repetition_stats_matches_python(ray_session):
+    import collections
+
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.corpus import repetition_stats
+
+    rng = np.random.default_rng(31)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 12))) for _ in range(150)]
+    texts += ["", "solo", "x y", "loop loop loop loop", "a b a b a b a b"]
+    ds = ray.data.from_arrow(_docs_table(texts)).repartition(4)
+    out = repetition_stats(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for i, s in enumerate(texts):
+        ws = [w for w in re.split(r"[^a-z0-9]+", s.lower()) if w]
+        cnt = collections.Counter(ws)
+        bgs = collections.Counter(zip(ws, ws[1:]))
+        r = out.iloc[i]
+        assert r["n_words"] == len(ws)
+        assert r["n_distinct"] == len(cnt)
+        assert r["top_word_cnt"] == (max(cnt.values()) if cnt else 0)
+        assert r["n_bigrams"] == max(len(ws) - 1, 0)
+        assert r["top_bigram_cnt"] == (max(bgs.values()) if bgs else 0)
+        assert r["top_word_frac"] == (max(cnt.values()) if cnt else 0) / max(len(ws), 1)
+        assert r["distinct_ratio"] == len(cnt) / max(len(ws), 1)
+        assert r["top_bigram_frac"] == (max(bgs.values()) if bgs else 0) / max(len(ws) - 1, 1)
+
+
+def test_duplicate_ngrams_matches_python(ray_session):
+    import collections
+
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.corpus import duplicate_ngrams
+
+    rng = np.random.default_rng(37)
+    vocab = ["aa", "bb", "cc"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 15))) for _ in range(200)]
+    texts += ["boiler plate text here " * 5, "boiler plate text here and more", "short"]
+    ds = ray.data.from_arrow(_docs_table(texts)).repartition(4)
+    ref = collections.Counter()
+    n = 3
+    for s in texts:
+        ws = [w for w in re.split(r"[^a-z0-9]+", s.lower()) if w]
+        for i in range(len(ws) - n + 1):
+            ref[" ".join(ws[i : i + n])] += 1
+    expect = sorted(
+        ((g, c) for g, c in ref.items() if c >= 2), key=lambda kv: (-kv[1], kv[0])
+    )[:20]
+    for combine in ("tree", "groupby"):
+        out = duplicate_ngrams(ds, n=3, min_count=2, k=20, combine=combine).to_pandas()
+        assert list(zip(out["gram"], out["cnt"])) == expect, combine
