@@ -668,6 +668,25 @@ SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= {threshold}
 """
 
 
+def _sql_dedup_clusters(threshold: float, shingle: str) -> str:
+    """Connected components over the verified minhash pairs: transitive closure
+    by recursive CTE (pair sets are candidate-bounded, so the closure is tiny),
+    rep = min doc_id of each component — mirroring dataprep.near_dup_clusters'
+    min-label propagation."""
+    inner = _sql_minhash_dedup(threshold, shingle).rstrip()
+    return f"""
+WITH RECURSIVE pairs AS ({inner}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_rep FROM reach GROUP BY u
+"""
+
+
 SQL_DEDUP_SIMHASH = """
 WITH mdocs AS ({MUT}),
 w AS (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS w
@@ -1983,6 +2002,20 @@ def q_token_topk(sf_dir: str):
     return token_topk(_docs_ds(sf_dir), k=100)
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup pair -> cluster resolution: minhash pairs (same cluster-shuffle
+    path as q_dedup_minhash) resolved to (doc_id, cluster_rep) by candidate-
+    bounded min-label propagation — the retire-the-whole-chain stage a real
+    dedup run needs after pair finding."""
+    from scala_timeseries_lib_ray.pipelines.dataprep import (
+        minhash_lsh_dedup,
+        near_dup_clusters,
+    )
+
+    pairs = minhash_lsh_dedup(_mutated_docs(sf_dir), threshold=0.5, candidates="groupby")
+    return near_dup_clusters(pairs)
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-family per-doc repetition metrics (top-word / top-bigram fractions,
     distinct ratio): stateless vectorized map_batches, no shuffle. Oracle mirrors
@@ -2052,6 +2085,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": q_clean_corpus,
         "repetition_stats": q_repetition_stats,
         "dup_ngrams": q_dup_ngrams,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -2075,4 +2109,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "clean_corpus": SQL_CLEAN_CORPUS,
         "repetition_stats": SQL_REPETITION_STATS,
         "dup_ngrams": SQL_DUP_NGRAMS,
+        "dedup_clusters": _sql_dedup_clusters(0.5, "word3"),
     }

@@ -1768,3 +1768,78 @@ def ann_topk_ivf(
 
     partials = embeddings.map_batches(partial, batch_format="pyarrow")
     return partials.repartition(1).map_batches(final, batch_size=None, batch_format="pyarrow")
+
+
+# --------------------------------------------------------- near-dup cluster resolution
+
+
+def _connected_components(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized connected components over an edge list: returns (nodes, rep)
+    with rep = min doc_id of each node's component. Min-label propagation with
+    pointer doubling — O(E) numpy work per round, O(log n) rounds."""
+    nodes = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        prev = label.copy()
+        m = np.minimum(label[ia], label[ib])
+        np.minimum.at(label, ia, m)
+        np.minimum.at(label, ib, m)
+        label = label[label]  # pointer doubling
+        if np.array_equal(label, prev):
+            break
+    return nodes, nodes[label]
+
+
+def near_dup_clusters(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """Resolve verified near-dup PAIRS into duplicate CLUSTERS: (doc_id,
+    cluster_rep) for every doc that appears in a pair, rep = min doc_id of its
+    connected component. This is the stage every dedup pipeline needs after
+    pair finding — "A~B, B~C" must retire B AND C, not just one of each pair.
+
+    Scale shape: the pair set is candidate-bounded (<< corpus; minhash_lsh_dedup
+    caps it at ``max_candidates``), so components resolve in one root task of
+    vectorized min-label propagation — the corpus itself is never touched.
+    Survivor filtering composes as a broadcast anti-join: see
+    :func:`dedup_survivors`."""
+
+    def resolve(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "cluster_rep": pa.array([], pa.int64())}
+            )
+        a = np.asarray(t.column("doc_a").to_numpy(zero_copy_only=False), np.int64)
+        b = np.asarray(t.column("doc_b").to_numpy(zero_copy_only=False), np.int64)
+        nodes, rep = _connected_components(a, b)
+        return pa.table(
+            {"doc_id": pa.array(nodes, pa.int64()), "cluster_rep": pa.array(rep, pa.int64())}
+        )
+
+    cols = [c for c in ("doc_a", "doc_b") if c in pairs.schema().names]
+    assert cols == ["doc_a", "doc_b"], f"pairs needs doc_a/doc_b, got {pairs.schema().names}"
+    return pairs.select_columns(cols).repartition(1).map_batches(
+        resolve, batch_size=None, batch_format="pyarrow"
+    )
+
+
+def dedup_survivors(
+    docs: ray.data.Dataset, clusters: ray.data.Dataset, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Keep one doc per near-dup cluster (the min-id rep) plus every unpaired
+    doc: broadcast the retired-id set (cluster members minus reps — candidate-
+    bounded) via ray.put and anti-join it in a stateless map over the corpus."""
+    dropped: list[np.ndarray] = []
+    for t in clusters.iter_batches(batch_size=None, batch_format="pyarrow"):
+        d = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False), np.int64)
+        r = np.asarray(t.column("cluster_rep").to_numpy(zero_copy_only=False), np.int64)
+        dropped.append(d[d != r])
+    retired = np.unique(np.concatenate(dropped)) if dropped else np.empty(0, np.int64)
+    ref = ray.put(retired)
+
+    def keep(t: pa.Table) -> pa.Table:
+        bad = ray.get(ref)
+        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False), np.int64)
+        return t.filter(pa.array(~np.isin(ids, bad)))
+
+    return docs.map_batches(keep, batch_format="pyarrow")

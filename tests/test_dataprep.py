@@ -487,3 +487,56 @@ def test_word_shingle_batch_matches_scalar():
         exp = shingle_hashes_words(ws)
         got = np.asarray(out[i].values.to_numpy(zero_copy_only=False), np.uint64)
         assert np.array_equal(exp, got), (i, texts[i])
+
+
+def test_near_dup_clusters_and_survivors(ray_session):
+    """Cluster resolution over verified pairs: min-label propagation equals a
+    union-find reference on random graphs; chains retire every non-rep member."""
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.dataprep import (
+        dedup_survivors,
+        near_dup_clusters,
+    )
+
+    rng = np.random.default_rng(41)
+    n_nodes = 200
+    edges = rng.integers(0, n_nodes, size=(150, 2))
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    # chain regression: a~b, b~c must retire b AND c
+    edges = np.vstack([edges, [[900, 901], [901, 902]]])
+    pairs = pa.table(
+        {
+            "doc_a": pa.array(edges[:, 0], pa.int64()),
+            "doc_b": pa.array(edges[:, 1], pa.int64()),
+        }
+    )
+    out = (
+        near_dup_clusters(ray.data.from_arrow(pairs).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # union-find reference
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in parent}
+    got = dict(zip(out["doc_id"], out["cluster_rep"]))
+    assert got == expect
+    assert got[902] == 900 and got[901] == 900
+    # survivors: reps + unpaired docs remain
+    all_ids = np.arange(1000, dtype=np.int64)
+    docs = ray.data.from_arrow(pa.table({"doc_id": pa.array(all_ids)}))
+    clusters = near_dup_clusters(ray.data.from_arrow(pairs))
+    surv = set(dedup_survivors(docs, clusters).to_pandas()["doc_id"])
+    retired = {x for x, r in expect.items() if x != r}
+    assert surv == set(range(1000)) - retired
