@@ -1922,6 +1922,82 @@ FROM q GROUP BY h
 """
 
 
+def _sql_clean_corpus_neardup() -> str:
+    """Full near-dup cleaning composite in SQL: quality + decontamination filter
+    (SQL_CLEAN_CORPUS fragments), MinHash+LSH+verify over the FILTERED corpus
+    (the minhash oracle restricted to survivors), transitive closure, survivor
+    anti-join. Runs over the planted-near-duplicate corpus (SQL_MUTATED_DOCS)."""
+    return rf"""
+WITH RECURSIVE
+mdocs AS ({SQL_MUTATED_DOCS}),
+st AS (
+  SELECT doc_id,
+         length(regexp_extract_all(text, '\S+')) AS n_tokens,
+         CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+           / GREATEST(length(text), 1) AS alpha_ratio
+  FROM mdocs
+),
+sh AS (
+SELECT doc_id,
+       CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+            WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+            ELSE list_transform(range(1, len(ws) - 1),
+                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+       END AS shingles
+FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM mdocs)
+),
+sgd AS (SELECT DISTINCT doc_id, md5_number_lower(u.sh) % 2147483647::UBIGINT AS x
+        FROM sh, unnest(shingles) u(sh)),
+ev AS (SELECT DISTINCT x FROM sgd WHERE doc_id < 20),
+cont AS (SELECT s.doc_id FROM sgd s JOIN ev USING (x) WHERE s.doc_id >= 20
+         GROUP BY 1 HAVING COUNT(*) >= 8),
+q AS (SELECT doc_id, n_tokens, alpha_ratio FROM st
+      WHERE doc_id >= 20 AND n_tokens >= 24 AND alpha_ratio >= 0.815
+        AND doc_id NOT IN (SELECT doc_id FROM cont)),
+fsgd AS (SELECT s.doc_id, s.x FROM sgd s JOIN q USING (doc_id)),
+perms AS (SELECT * FROM {_sql_perm_values()}),
+mh AS (SELECT doc_id, p.i, MIN((p.a * x + p.b) % 2147483647::UBIGINT) AS mv
+       FROM fsgd, perms p GROUP BY 1, 2),
+band AS (SELECT doc_id, i // 4 AS band, string_agg(mv::VARCHAR, '|' ORDER BY i) AS key
+         FROM mh GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM band a JOIN band b USING (band, key) WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM fsgd GROUP BY 1),
+ixn AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+        FROM cand c
+        JOIN fsgd sa ON sa.doc_id = c.doc_a
+        JOIN fsgd sb ON sb.doc_id = c.doc_b AND sb.x = sa.x
+        GROUP BY 1, 2),
+ver AS (SELECT c.doc_a, c.doc_b,
+               COALESCE(i.ni, 0)::DOUBLE
+                 / GREATEST(na.n + nb.n - COALESCE(i.ni, 0), 1)::DOUBLE AS jaccard
+        FROM cand c
+        LEFT JOIN ixn i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes na ON na.doc_id = c.doc_a
+        JOIN sizes nb ON nb.doc_id = c.doc_b),
+pairs AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.5),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u)
+SELECT doc_id, n_tokens, alpha_ratio FROM q
+WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> rep)
+"""
+
+
+def q_clean_corpus_neardup(sf_dir: str):
+    """Near-dup cleaning composite over the planted-duplicate corpus: quality
+    filter -> decontamination -> MinHash cluster dedup (groupby candidate
+    shuffle) -> survivors. The full training-export story with fuzzy dedup."""
+    from scala_timeseries_lib_ray.pipelines.dataprep import clean_corpus_neardup
+
+    return clean_corpus_neardup(_mutated_docs(sf_dir), eval_max_id=20)
+
+
 def q_clean_corpus(sf_dir: str):
     """End-to-end corpus cleaning export: quality filter -> eval
     decontamination -> exact dedup, one streaming composite (the full
@@ -2086,6 +2162,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition_stats,
         "dup_ngrams": q_dup_ngrams,
         "dedup_clusters": q_dedup_clusters,
+        "clean_corpus_neardup": q_clean_corpus_neardup,
     }
 
 
@@ -2110,4 +2187,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "repetition_stats": SQL_REPETITION_STATS,
         "dup_ngrams": SQL_DUP_NGRAMS,
         "dedup_clusters": _sql_dedup_clusters(0.5, "word3"),
+        "clean_corpus_neardup": _sql_clean_corpus_neardup(),
     }

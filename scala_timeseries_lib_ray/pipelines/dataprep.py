@@ -1010,6 +1010,31 @@ def clean_corpus(
     abort belongs to the standalone :func:`contamination_counts` report; here
     contaminated docs are dropped in-stream and never collected)."""
     del max_contaminated
+    ref = _eval_union_ref(docs, eval_max_id)
+    filtered = quality_decon_filter(docs, ref, eval_max_id, min_tokens, min_alpha, min_overlap)
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        lows = pc.utf8_lower(t.column("text")).to_pylist()
+        h = [hashlib.md5(s.encode()).hexdigest() for s in lows]
+        return t.drop_columns(["text"]).append_column("text_hash", pa.array(h, pa.string()))
+
+    from ray.data.aggregate import Min
+
+    kept = (
+        filtered.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(
+            Min("doc_id", alias_name="doc_id"),
+            Min("n_tokens", alias_name="n_tokens"),
+            Min("alpha_ratio", alias_name="alpha_ratio"),
+        )
+    )
+    return kept.drop_columns(["text_hash"])
+
+
+def _eval_union_ref(docs: ray.data.Dataset, eval_max_id: int):
+    """Broadcast-ready sorted union of the eval set's shingle hashes (pass 1 of
+    the cleaning composites — tiny, eval-set-bounded)."""
 
     def eval_hashes(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less(t.column("doc_id"), pa.scalar(eval_max_id)))
@@ -1031,10 +1056,25 @@ def clean_corpus(
         if ev_tables
         else np.empty(0, np.uint64)
     ).astype(np.uint64)
-    ref = ray.put(ev)
+    return ray.put(ev)
 
-    def stage_filter_hash(t: pa.Table) -> pa.Table:
-        ev_sorted = ray.get(ref)
+
+def quality_decon_filter(
+    docs: ray.data.Dataset,
+    eval_union_ref,
+    eval_max_id: int,
+    min_tokens: int,
+    min_alpha: float,
+    min_overlap: int,
+) -> ray.data.Dataset:
+    """Quality + decontamination filter stage shared by the cleaning composites:
+    per batch, quality kernels + in-batch eval-overlap count against the
+    broadcast shingle union; emits (doc_id, n_tokens, alpha_ratio, text) of
+    survivors. Stateless — safe to re-execute per downstream pass (no
+    materialize), which is how the near-dup composite streams it."""
+
+    def stage_filter(t: pa.Table) -> pa.Table:
+        ev_sorted = ray.get(eval_union_ref)
         text = t.column("text")
         n_chars = pc.utf8_length(text)
         n_tokens = pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.int64())
@@ -1066,7 +1106,7 @@ def clean_corpus(
             if nz.any():
                 counts[nz] = np.add.reduceat(np.r_[hit, 0], offsets[nz])
             keep[keep] = counts < min_overlap
-        t2 = pa.table(
+        return pa.table(
             {
                 "doc_id": t.column("doc_id"),
                 "n_tokens": n_tokens,
@@ -1074,23 +1114,36 @@ def clean_corpus(
                 "text": text,
             }
         ).filter(pa.array(keep))
-        lows = pc.utf8_lower(t2.column("text")).to_pylist()
-        h = [hashlib.md5(s.encode()).hexdigest() for s in lows]
-        return t2.drop_columns(["text"]).append_column("text_hash", pa.array(h, pa.string()))
 
-    from ray.data.aggregate import Min
+    return docs.map_batches(stage_filter, batch_format="pyarrow")
 
-    kept = (
-        docs.map_batches(stage_filter_hash, batch_format="pyarrow")
-        .groupby("text_hash")
-        .aggregate(
-            Min("doc_id", alias_name="doc_id"),
-            Min("n_tokens", alias_name="n_tokens"),
-            Min("alpha_ratio", alias_name="alpha_ratio"),
-        )
-    )
-    return kept.map_batches(
-        lambda t: t.drop_columns(["text_hash"]), batch_format="pyarrow"
+
+def clean_corpus_neardup(
+    docs: ray.data.Dataset,
+    eval_max_id: int = 20,
+    min_tokens: int = 24,
+    min_alpha: float = 0.815,
+    min_overlap: int = 8,
+    threshold: float = 0.5,
+    candidates: str = "groupby",
+) -> ray.data.Dataset:
+    """The near-dup upgrade of :func:`clean_corpus`: quality filter -> eval
+    decontamination -> MinHash+LSH near-dup CLUSTER dedup -> survivors. Where
+    clean_corpus retires only byte-identical copies, this retires whole
+    near-duplicate chains (Jaccard >= threshold, transitively closed), keeping
+    each cluster's min-id doc. Output: (doc_id, n_tokens, alpha_ratio).
+
+    Scale shape: the filter stage is stateless and re-executes per downstream
+    pass (no materialize — the corpus streams through each pass); the pair set
+    is candidate-bounded, so cluster resolution and the survivor anti-join are
+    broadcast-sized."""
+    ref = _eval_union_ref(docs, eval_max_id)
+    filtered = quality_decon_filter(docs, ref, eval_max_id, min_tokens, min_alpha, min_overlap)
+    pairs = minhash_lsh_dedup(filtered, threshold=threshold, candidates=candidates)
+    clusters = near_dup_clusters(pairs)
+    return dedup_survivors(
+        filtered.map_batches(lambda t: t.drop_columns(["text"]), batch_format="pyarrow"),
+        clusters,
     )
 
 
@@ -1816,9 +1869,7 @@ def near_dup_clusters(pairs: ray.data.Dataset) -> ray.data.Dataset:
             {"doc_id": pa.array(nodes, pa.int64()), "cluster_rep": pa.array(rep, pa.int64())}
         )
 
-    cols = [c for c in ("doc_a", "doc_b") if c in pairs.schema().names]
-    assert cols == ["doc_a", "doc_b"], f"pairs needs doc_a/doc_b, got {pairs.schema().names}"
-    return pairs.select_columns(cols).repartition(1).map_batches(
+    return pairs.select_columns(["doc_a", "doc_b"]).repartition(1).map_batches(
         resolve, batch_size=None, batch_format="pyarrow"
     )
 

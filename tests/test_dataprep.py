@@ -540,3 +540,48 @@ def test_near_dup_clusters_and_survivors(ray_session):
     surv = set(dedup_survivors(docs, clusters).to_pandas()["doc_id"])
     retired = {x for x, r in expect.items() if x != r}
     assert surv == set(range(1000)) - retired
+
+
+def test_clean_corpus_neardup_composite(ray_session):
+    """The near-dup cleaning composite drops low-quality docs, contaminated
+    docs, and every non-rep member of a near-duplicate chain."""
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.dataprep import clean_corpus_neardup
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima "
+        "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray"
+    )
+    evaltext = (
+        "zulu yankee quorum nimbus copper ember violet marble cedar onyx lantern "
+        "prism garnet willow saffron cobalt"
+    )
+    texts = {
+        0: evaltext,                            # eval set (doc_id < 1)
+        10: base + " first member here",        # chain rep: survives
+        11: base + " first member here too",    # near-dup of 10: retired
+        12: base + " first member here too yes",  # near-dup of 11: retired (chain)
+        13: "short low quality",                # fails min_tokens: dropped
+        14: evaltext + " padded to pass the quality gate easily",  # contaminated
+        15: (
+            "meadow harbor tundra canyon glacier breeze summit forest petal "
+            "stone river cloud thunder amber frost maple"
+        ),  # distinct vocabulary: survives
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values())),
+        }
+    )
+    out = clean_corpus_neardup(
+        ray.data.from_arrow(t).repartition(3),
+        eval_max_id=1,
+        min_tokens=10,
+        min_alpha=0.5,
+        min_overlap=8,
+        threshold=0.5,
+        candidates="local",
+    ).to_pandas()
+    assert set(out["doc_id"]) == {10, 15}
