@@ -259,6 +259,6 @@ def test_duplicate_ngrams_matches_python(ray_session):
     expect = sorted(
         ((g, c) for g, c in ref.items() if c >= 2), key=lambda kv: (-kv[1], kv[0])
     )[:20]
-    for combine in ("tree", "groupby"):
+    for combine in ("hash2pass", "tree", "groupby"):
         out = duplicate_ngrams(ds, n=3, min_count=2, k=20, combine=combine).to_pandas()
         assert list(zip(out["gram"], out["cnt"])) == expect, combine
