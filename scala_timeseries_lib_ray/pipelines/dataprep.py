@@ -323,21 +323,43 @@ def _rolling_hash_batch(bufs: list[bytes]) -> np.ndarray:
 # ------------------------------------------------------------------------ dedup: exact
 
 
+N_DEDUP_PARTS = 64  # bounded exchange-key cardinality for the content-hash dedups
+
+
+def _hash_part(hexes: list[str]) -> pa.Array:
+    """Uniform int32 partition key from the first two hex digits of the content
+    hash — every row of a hash lands in one partition, and the exchange sorts a
+    64-value key instead of the unbounded distinct-hash space (a 70M-distinct-key
+    sort measured 285 s on this host vs ~20 s part-keyed, see duplicate_ngrams)."""
+    return pa.array(
+        np.fromiter((int(h[:2], 16) % N_DEDUP_PARTS for h in hexes), np.int32, len(hexes))
+    )
+
+
 def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Exact dedup by content hash: hash in a vectorized map_batches, keep the min
-    doc_id per hash. Shuffle key: the content hash (uniform — no skew). The md5
-    call per document IS the kernel here (no per-feature Python loop); it is
-    embarrassingly parallel across batches."""
-    from ray.data.aggregate import Count, Min
+    doc_id per hash. The exchange is keyed by a 64-value partition of the hash
+    space (not the unbounded hash itself — see :func:`_hash_part`); each
+    partition aggregates per hash in Arrow's C++ hash aggregation. The md5 call
+    per document IS the kernel here; it is embarrassingly parallel across
+    batches."""
 
     def add_hash(t: pa.Table) -> pa.Table:
         lows = pc.utf8_lower(t.column("text")).to_pylist()
         h = [hashlib.md5(s.encode()).hexdigest() for s in lows]
-        return pa.table({"doc_id": t.column("doc_id"), "text_hash": pa.array(h)})
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "text_hash": pa.array(h), "part": _hash_part(h)}
+        )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        g = t.group_by(["text_hash"]).aggregate([("doc_id", "min"), ("doc_id", "count")])
+        return g.rename_columns(["text_hash", "keep_doc_id", "n_copies"]).select(
+            ["text_hash", "keep_doc_id", "n_copies"]
+        )
 
     hashed = docs.map_batches(add_hash, batch_format="pyarrow")
-    return hashed.groupby("text_hash").aggregate(
-        Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_copies")
+    return hashed.groupby("part").map_groups(
+        lambda t: per_part(t.drop_columns(["part"])), batch_format="pyarrow"
     )
 
 
@@ -1016,20 +1038,27 @@ def clean_corpus(
     def add_hash(t: pa.Table) -> pa.Table:
         lows = pc.utf8_lower(t.column("text")).to_pylist()
         h = [hashlib.md5(s.encode()).hexdigest() for s in lows]
-        return t.drop_columns(["text"]).append_column("text_hash", pa.array(h, pa.string()))
-
-    from ray.data.aggregate import Min
-
-    kept = (
-        filtered.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("text_hash")
-        .aggregate(
-            Min("doc_id", alias_name="doc_id"),
-            Min("n_tokens", alias_name="n_tokens"),
-            Min("alpha_ratio", alias_name="alpha_ratio"),
+        return (
+            t.drop_columns(["text"])
+            .append_column("text_hash", pa.array(h, pa.string()))
+            .append_column("part", _hash_part(h))
         )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        # bounded-key exchange + per-partition Arrow hash aggregation (the
+        # unbounded text_hash never keys a sort — see _hash_part)
+        g = t.group_by(["text_hash"]).aggregate(
+            [("doc_id", "min"), ("n_tokens", "min"), ("alpha_ratio", "min")]
+        )
+        return g.rename_columns(["text_hash", "doc_id", "n_tokens", "alpha_ratio"]).select(
+            ["doc_id", "n_tokens", "alpha_ratio"]
+        )
+
+    return (
+        filtered.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda t: per_part(t.drop_columns(["part"])), batch_format="pyarrow")
     )
-    return kept.drop_columns(["text_hash"])
 
 
 def _eval_union_ref(docs: ray.data.Dataset, eval_max_id: int):
