@@ -262,3 +262,70 @@ def test_duplicate_ngrams_matches_python(ray_session):
     for combine in ("hash2pass", "tree", "groupby"):
         out = duplicate_ngrams(ds, n=3, min_count=2, k=20, combine=combine).to_pandas()
         assert list(zip(out["gram"], out["cnt"])) == expect, combine
+
+
+def test_repetition_dupngrams_duckdb_parity_fuzz(ray_session):
+    """Random ASCII corpora: repetition_stats / duplicate_ngrams vs DuckDB (the
+    driver-oracle closed forms), independent of the testdata tables."""
+    import duckdb
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.corpus import (
+        duplicate_ngrams,
+        repetition_stats,
+    )
+
+    rng = np.random.default_rng(321)
+    chars = np.array(list("ab1 .x"))
+    for trial in range(3):
+        n = int(rng.integers(5, 50))
+        texts = ["".join(rng.choice(chars, size=rng.integers(0, 35))) for _ in range(n)]
+        texts += ["a b a b a b", "a b a b a b"]  # guaranteed cross-doc dup 3-grams
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                "text": pa.array(texts),
+            }
+        )
+        con = duckdb.connect()
+        con.register("documents", t)
+        ds = ray.data.from_arrow(t).repartition(3)
+
+        rs = (
+            repetition_stats(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        ref = con.execute(
+            """
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+uni AS (SELECT doc_id, u.w AS word, COUNT(*)::BIGINT AS c FROM w, unnest(ws) u(w) GROUP BY 1, 2),
+us AS (SELECT doc_id, COUNT(*)::BIGINT AS n_distinct, MAX(c) AS top_word_cnt,
+              SUM(c)::BIGINT AS n_words FROM uni GROUP BY 1),
+bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b, COUNT(*)::BIGINT AS c
+       FROM w, unnest(range(1, len(ws))) t(i) GROUP BY 1, 2),
+bs AS (SELECT doc_id, MAX(c) AS top_bigram_cnt FROM bg GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(us.n_words, 0)::BIGINT AS n_words,
+       COALESCE(us.n_distinct, 0)::BIGINT AS n_distinct,
+       COALESCE(us.top_word_cnt, 0)::BIGINT AS top_word_cnt,
+       GREATEST(COALESCE(us.n_words, 0) - 1, 0)::BIGINT AS n_bigrams,
+       COALESCE(bs.top_bigram_cnt, 0)::BIGINT AS top_bigram_cnt
+FROM documents d LEFT JOIN us USING (doc_id) LEFT JOIN bs USING (doc_id)
+ORDER BY doc_id
+"""
+        ).df()
+        for col in ("n_words", "n_distinct", "top_word_cnt", "n_bigrams", "top_bigram_cnt"):
+            assert list(rs[col]) == list(ref[col]), (trial, col)
+
+        dg = duplicate_ngrams(ds, n=3, min_count=2, k=10).to_pandas()
+        ref2 = con.execute(
+            """
+WITH w AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+g AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      FROM w, unnest(range(1, len(ws) - 1)) t(i)),
+c AS (SELECT gram, COUNT(*)::BIGINT AS cnt FROM g GROUP BY 1)
+SELECT gram, cnt FROM c WHERE cnt >= 2 ORDER BY cnt DESC, gram LIMIT 10
+"""
+        ).df()
+        assert list(dg["gram"]) == list(ref2["gram"]) and list(dg["cnt"]) == list(
+            ref2["cnt"]
+        ), trial
