@@ -2092,6 +2092,36 @@ def q_dedup_clusters(sf_dir: str):
     return near_dup_clusters(pairs)
 
 
+SQL_SEQUENCE_DEDUP = """
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS r
+  FROM documents
+), tok AS (
+  SELECT source || '-' || lpad(r::VARCHAR, 8, '0') AS sid,
+         16 + (31 * n_chars + 7 * doc_id) % 2033 AS n_tok, r
+  FROM ranked
+), seq AS (
+  SELECT sid, list_transform(range(0, n_tok), j -> CAST((42 * r + j) % 50257 AS INTEGER))
+           AS tokens
+  FROM tok
+)
+SELECT MIN(sid) AS keep_doc_id, COUNT(*)::BIGINT AS n_copies
+FROM seq GROUP BY tokens
+"""
+
+
+def q_sequence_dedup(sf_dir: str):
+    """Exact dedup of the pre-tokenized sequence table by token-ARRAY content
+    (md5 over the raw int32 payload, zero-copy from the list buffers; 64-value
+    hash-partition exchange). The oracle groups by the reconstructed list
+    itself — the testdata's derivation yields real cross-source duplicate
+    sequences at every scale (2/1/15 dup groups at sf0.001/0.01/0.1)."""
+    from scala_timeseries_lib_ray.pipelines.dataprep import sequence_dedup
+
+    return sequence_dedup(_doc_tokens_ds(sf_dir, with_tokens=True))
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-family per-doc repetition metrics (top-word / top-bigram fractions,
     distinct ratio): stateless vectorized map_batches, no shuffle. Oracle mirrors
@@ -2163,6 +2193,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngrams": q_dup_ngrams,
         "dedup_clusters": q_dedup_clusters,
         "clean_corpus_neardup": q_clean_corpus_neardup,
+        "sequence_dedup": q_sequence_dedup,
     }
 
 
@@ -2188,4 +2219,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "dup_ngrams": SQL_DUP_NGRAMS,
         "dedup_clusters": _sql_dedup_clusters(0.5, "word3"),
         "clean_corpus_neardup": _sql_clean_corpus_neardup(),
+        "sequence_dedup": SQL_SEQUENCE_DEDUP,
     }

@@ -1923,3 +1923,46 @@ def dedup_survivors(
         return t.filter(pa.array(~np.isin(ids, bad)))
 
     return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def sequence_dedup(tokens: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact dedup of PRE-TOKENIZED sequences by token-array content — the
+    token-level twin of :func:`exact_dedup` for pipelines whose corpus is
+    already `(doc_id, tokens:list<int32>)` rather than raw text. The content
+    key is md5 over the raw little-endian int32 payload, read zero-copy from
+    the Arrow list buffers (fixed-width elements make byte-equality ==
+    array-equality, length included); the exchange shuffles on the 64-value
+    hash partition (:func:`_hash_part`) and each partition keeps the min
+    doc_id + copy count per content hash in Arrow's hash aggregation.
+    Output: (keep_doc_id, n_copies)."""
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        col = t.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = np.ascontiguousarray(
+            np.asarray(col.values.to_numpy(zero_copy_only=False), np.int32)
+        )
+        offs = np.asarray(col.offsets.to_numpy(zero_copy_only=False), np.int64)
+        md5 = hashlib.md5
+        hexes = [
+            md5(vals[offs[i] : offs[i + 1]].tobytes()).hexdigest() for i in range(len(col))
+        ]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "seq_hash": pa.array(hexes),
+                "part": _hash_part(hexes),
+            }
+        )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        g = t.group_by(["seq_hash"]).aggregate([("doc_id", "min"), ("doc_id", "count")])
+        return g.rename_columns(["seq_hash", "keep_doc_id", "n_copies"]).select(
+            ["keep_doc_id", "n_copies"]
+        )
+
+    hashed = tokens.map_batches(add_hash, batch_format="pyarrow")
+    return hashed.groupby("part").map_groups(
+        lambda t: per_part(t.drop_columns(["part"])), batch_format="pyarrow"
+    )

@@ -585,3 +585,30 @@ def test_clean_corpus_neardup_composite(ray_session):
         candidates="local",
     ).to_pandas()
     assert set(out["doc_id"]) == {10, 15}
+
+
+def test_sequence_dedup_planted(ray_session):
+    """Token-array dedup: identical int32 sequences collapse to the min doc_id
+    with the right copy count; distinct lengths/values never merge."""
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.dataprep import sequence_dedup
+
+    seqs = {
+        "a-1": [1, 2, 3],
+        "a-2": [1, 2, 3],          # dup of a-1
+        "b-1": [1, 2, 3, 0],       # longer: distinct
+        "b-2": [1, 2, 4],          # different value: distinct
+        "c-9": [1, 2, 3],          # third copy
+        "d-1": [],                 # empty sequence
+        "d-2": [],                 # dup empty
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(seqs)),
+            "tokens": pa.array(list(seqs.values()), pa.list_(pa.int32())),
+        }
+    )
+    out = sequence_dedup(ray.data.from_arrow(t).repartition(3)).to_pandas()
+    got = dict(zip(out["keep_doc_id"], out["n_copies"]))
+    assert got == {"a-1": 3, "b-1": 1, "b-2": 1, "d-1": 2}
