@@ -2195,6 +2195,36 @@ FROM events
 """
 
 
+SQL_SALIENT_TERMS = """
+WITH toks AS (
+  SELECT doc_id, source, u.w AS word
+  FROM (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents) d, unnest(d.ws) u(w)
+), tf AS (
+  SELECT source, word, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT word, COUNT(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1
+), scored AS (
+  SELECT tf.source, tf.word, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.source
+                            ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.word)
+           AS r
+  FROM tf JOIN df USING (word)
+)
+SELECT source, CAST(r AS BIGINT) AS "rank", word, tf, df
+FROM scored WHERE r <= 10
+"""
+
+
+def q_salient_terms(sf_dir: str):
+    """Per-source distinctive vocabulary: top-10 words by tf/df with integer
+    ranks (one IEEE int64/int64 division on both sides; ties by word asc).
+    Combiner-partial + tree combine, bounded-vocab root."""
+    from scala_timeseries_lib_ray.pipelines.corpus import salient_terms
+
+    return salient_terms(_docs_ds(sf_dir, columns=("doc_id", "text", "source")), k=10)
+
+
 def _events_raw_ds(sf_dir: str):
     import ray.data
 
@@ -2272,6 +2302,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "ev_asof": q_ev_asof,
         "ev_range_agg": q_ev_range_agg,
         "ev_cumsum": q_ev_cumsum,
+        "salient_terms": q_salient_terms,
     }
 
 
@@ -2301,4 +2332,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "ev_asof": SQL_EV_ASOF,
         "ev_range_agg": SQL_EV_RANGE_AGG,
         "ev_cumsum": SQL_EV_CUMSUM,
+        "salient_terms": SQL_SALIENT_TERMS,
     }

@@ -538,3 +538,89 @@ def duplicate_ngrams(
     return counts.repartition(1).map_batches(
         finalize, batch_size=None, batch_format="pyarrow"
     )
+
+
+def salient_terms(
+    docs: ray.data.Dataset, k: int = 10, fanin: tuple[int, ...] = (32, 1)
+) -> ray.data.Dataset:
+    """Per-source salient vocabulary: the k words with the highest tf/df ratio
+    (tf = occurrences within the source, df = corpus-wide document frequency) —
+    the tf-idf-style distinctive-terms profile a corpus audit runs per domain,
+    with an integer-exact ordering (tf/df is one IEEE division of two int64s on
+    both engine and oracle; ties break by word asc; output carries integer
+    ranks and counts, never float scores).
+
+    Scale shape: one streaming pass emits per-batch (source, word, tf, dfp)
+    partials (dfp = docs of the batch containing the word — additive because a
+    doc lives in exactly one batch); a map-only tree combine sums both by
+    (source, word) exactly as :func:`token_topk` (counts are associative, vocab
+    is tokenizer-bounded); the root task derives df(word) by a bincount over
+    the combined vocab and takes the per-source top-k."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t.column("text"))
+        lists = pc.split_pattern_regex(low, _WORD_SPLIT_RE)
+        flat = pc.list_flatten(lists)
+        par = pc.list_parent_indices(lists)
+        mask = pc.not_equal(pc.utf8_length(flat), 0)
+        flat, par = flat.filter(mask), par.filter(mask)
+        src = t.column("source").take(par)
+        pairs = pa.table({"source": src, "word": flat, "d": par})
+        tf = pairs.group_by(["source", "word"]).aggregate([("d", "count")])
+        dfp = (
+            pairs.group_by(["d", "source", "word"])
+            .aggregate([])
+            .group_by(["source", "word"])
+            .aggregate([("d", "count")])
+        )
+        out = tf.rename_columns(["source", "word", "tf"]).join(
+            dfp.rename_columns(["source", "word", "dfp"]), keys=["source", "word"]
+        )
+        return pa.table(
+            {
+                "source": out.column("source"),
+                "word": out.column("word"),
+                "tf": out.column("tf").cast(pa.int64()),
+                "dfp": out.column("dfp").cast(pa.int64()),
+            }
+        )
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "word"]).aggregate([("tf", "sum"), ("dfp", "sum")])
+        return g.rename_columns(["source", "word", "tf", "dfp"])
+
+    def topk(t: pa.Table) -> pa.Table:
+        t = combine(t)
+        src = np.asarray(t.column("source").to_numpy(zero_copy_only=False))
+        w = np.asarray(t.column("word").to_numpy(zero_copy_only=False))
+        tf = np.asarray(t.column("tf").to_numpy(zero_copy_only=False))
+        dfp = np.asarray(t.column("dfp").to_numpy(zero_copy_only=False))
+        _, winv = np.unique(w, return_inverse=True)
+        df = np.bincount(winv, weights=dfp).astype(np.int64)[winv]
+        ratio = tf.astype(np.float64) / df
+        _, sinv = np.unique(src, return_inverse=True)
+        order = np.lexsort((w, -ratio, sinv))
+        s_sorted = sinv[order]
+        newseg = np.r_[True, s_sorted[1:] != s_sorted[:-1]]
+        segstart = np.flatnonzero(newseg)
+        segid = np.cumsum(newseg) - 1
+        rank = np.arange(len(order)) - segstart[segid] + 1
+        keep = order[rank <= k]
+        return pa.table(
+            {
+                "source": pa.array(src[keep]),
+                "rank": pa.array(rank[rank <= k], pa.int64()),
+                "word": pa.array(w[keep]),
+                "tf": pa.array(tf[keep], pa.int64()),
+                "df": pa.array(df[keep], pa.int64()),
+            }
+        )
+
+    counts = docs.map_batches(partial, batch_format="pyarrow")
+    for f in fanin[:-1]:
+        counts = counts.repartition(f).map_batches(
+            combine, batch_size=None, batch_format="pyarrow"
+        )
+    return counts.repartition(fanin[-1]).map_batches(
+        topk, batch_size=None, batch_format="pyarrow"
+    )

@@ -329,3 +329,56 @@ SELECT gram, cnt FROM c WHERE cnt >= 2 ORDER BY cnt DESC, gram LIMIT 10
         assert list(dg["gram"]) == list(ref2["gram"]) and list(dg["cnt"]) == list(
             ref2["cnt"]
         ), trial
+
+
+def test_salient_terms_duckdb_parity_fuzz(ray_session):
+    import duckdb
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.corpus import salient_terms
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(60)]
+    texts, srcs = [], []
+    for i in range(300):
+        # skew the vocab per source so ratios differ
+        s = f"s{i % 4}"
+        lo = (i % 4) * 12
+        words = rng.choice(vocab[lo : lo + 30], size=rng.integers(1, 40))
+        texts.append(" ".join(words.tolist()))
+        srcs.append(s)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "source": pa.array(srcs),
+        }
+    )
+    ds = ray.data.from_arrow([t.slice(i, 50) for i in range(0, 300, 50)])
+    out = (
+        salient_terms(ds, k=7)
+        .to_pandas()
+        .sort_values(["source", "rank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    ora = con.execute(
+        """
+        WITH toks AS (
+          SELECT doc_id, source, u.w AS word
+          FROM (SELECT doc_id, source,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents) d, unnest(d.ws) u(w)
+        ), tf AS (SELECT source, word, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1,2),
+           df AS (SELECT word, COUNT(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1),
+        scored AS (
+          SELECT tf.source, tf.word, tf.tf, df.df,
+                 row_number() OVER (PARTITION BY tf.source
+                     ORDER BY CAST(tf.tf AS DOUBLE)/df.df DESC, tf.word) AS r
+          FROM tf JOIN df USING (word))
+        SELECT source, CAST(r AS BIGINT) AS "rank", word, tf, df
+        FROM scored WHERE r <= 7 ORDER BY source, r
+        """
+    ).df()
+    assert out.equals(ora)
