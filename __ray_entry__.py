@@ -2216,6 +2216,78 @@ FROM scored WHERE r <= 10
 """
 
 
+def _sql_embedding_kmeans(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled-CTE mirror of pipelines/cluster.py: quantize to the int-1000
+    grid, init from vec_id 0..k-1, then per iteration an exact integer-distance
+    argmin assignment (ties to the smallest cluster) and a ROUND(sum/count)
+    centroid update back on the grid (empty clusters keep the previous
+    centroid via the range spine)."""
+    parts = [
+        f"""WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE) * 1000)) AS ql
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cluster, ql AS cl FROM q WHERE vec_id < {k}
+)"""
+    ]
+    assign = """, a{i} AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT vec_id, cluster, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM (SELECT q.vec_id, c.cluster,
+                 SUM((q.ql[i] - c.cl[i]) * (q.ql[i] - c.cl[i])) AS dist
+          FROM q CROSS JOIN c{prev} c, range(1, {dimp1}) r(i)
+          GROUP BY q.vec_id, c.cluster))
+  WHERE rn = 1
+)"""
+    update = """, c{i} AS (
+  SELECT g.range AS cluster, COALESCE(u.cl, p.cl) AS cl
+  FROM range(0, {k}) g
+  LEFT JOIN (
+    SELECT cluster, list(ROUND(s / n) ORDER BY i) AS cl
+    FROM (SELECT a.cluster, r.i, SUM(q.ql[i]) AS s, COUNT(*) AS n
+          FROM a{i} a JOIN q USING (vec_id), range(1, {dimp1}) r(i)
+          GROUP BY a.cluster, r.i)
+    GROUP BY cluster
+  ) u ON u.cluster = g.range
+  JOIN c{prev} p ON p.cluster = g.range
+)"""
+    for it in range(1, iters + 1):
+        parts.append(assign.format(i=it, prev=it - 1, dimp1=dim + 1))
+        parts.append(update.format(i=it, prev=it - 1, k=k, dimp1=dim + 1))
+    parts.append(
+        f""", af AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT vec_id, cluster, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM (SELECT q.vec_id, c.cluster,
+                 SUM((q.ql[i] - c.cl[i]) * (q.ql[i] - c.cl[i])) AS dist
+          FROM q CROSS JOIN c{iters} c, range(1, {dim + 1}) r(i)
+          GROUP BY q.vec_id, c.cluster))
+  WHERE rn = 1
+)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist
+FROM af"""
+    )
+    return "".join(parts)
+
+
+def q_embedding_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means on the integer-quantized grid (k=8, 3
+    iterations): per-iteration streaming assignment + O(k x dim) partial-sum
+    reduce, centroids re-rounded to the grid each step so the whole run is
+    hash-exact vs the unrolled-CTE oracle."""
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.cluster import embedding_kmeans
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        override_num_blocks=8,
+    )
+    return embedding_kmeans(emb, k=8, iters=3)
+
+
 def q_salient_terms(sf_dir: str):
     """Per-source distinctive vocabulary: top-10 words by tf/df with integer
     ranks (one IEEE int64/int64 division on both sides; ties by word asc).
@@ -2303,6 +2375,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "ev_range_agg": q_ev_range_agg,
         "ev_cumsum": q_ev_cumsum,
         "salient_terms": q_salient_terms,
+        "embedding_kmeans": q_embedding_kmeans,
     }
 
 
@@ -2333,4 +2406,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "ev_range_agg": SQL_EV_RANGE_AGG,
         "ev_cumsum": SQL_EV_CUMSUM,
         "salient_terms": SQL_SALIENT_TERMS,
+        "embedding_kmeans": _sql_embedding_kmeans(),
     }
