@@ -477,38 +477,62 @@ def duplicate_ngrams(
             )
 
         def part_dups(t: pa.Table) -> pa.Table:
-            g = t.group_by(["h"]).aggregate([("cnt", "sum")])
-            return g.filter(
-                pc.greater_equal(g.column("cnt_sum"), min_count)
-            ).select(["h"])
+            part = t.column("part")[0]
+            g = t.drop_columns(["part"]).group_by(["h"]).aggregate([("cnt", "sum")])
+            g = g.filter(pc.greater_equal(g.column("cnt_sum"), min_count)).select(["h"])
+            return g.append_column(
+                "part", pa.array(np.full(g.num_rows, part.as_py(), np.int32))
+            )
 
         hc = (
             docs.map_batches(hash_partial, batch_format="pyarrow")
             .groupby("part")
-            .map_groups(
-                lambda t: part_dups(t.drop_columns(["part"])), batch_format="pyarrow"
-            )
+            .map_groups(part_dups, batch_format="pyarrow")
         )
 
-        cand_hashes: list[np.ndarray] = []
+        # Candidate membership stays SHARDED per part: one sorted uint64 array
+        # (own ray.put object) per 6-bit hash partition, so no single object —
+        # and no driver-side concatenation — ever holds the full duplicated-
+        # gram set. A boilerplate-heavy corpus at 100 TB can push |duplicated
+        # grams| past a worker heap as one array; per part it is 1/n_parts of
+        # that, and pass 2 probes each part's array independently (zero-copy
+        # views out of the object store). Raise n_parts with the corpus.
+        per_part: dict[int, list[np.ndarray]] = {}
         for tb in hc.iter_batches(batch_size=None, batch_format="pyarrow"):
-            cand_hashes.append(
-                np.asarray(tb.column("h").to_numpy(zero_copy_only=False), np.int64).view(
-                    np.uint64
-                )
-            )
-        cand = np.sort(np.concatenate(cand_hashes)) if cand_hashes else np.empty(0, np.uint64)
-        ref = _ray.put(cand)
+            hs = np.asarray(tb.column("h").to_numpy(zero_copy_only=False), np.int64)
+            ps = np.asarray(tb.column("part").to_numpy(zero_copy_only=False))
+            for p in np.unique(ps):
+                per_part.setdefault(int(p), []).append(hs[ps == p].view(np.uint64))
+        refs = {
+            p: _ray.put(np.sort(np.concatenate(chunks)))
+            for p, chunks in per_part.items()
+        }
 
         def gram_partial(t: pa.Table) -> pa.Table:
-            cset = _ray.get(ref)
             grams = _gram_strings(t)
-            if grams is None or len(cset) == 0:
+            if grams is None or not refs:
                 return _EMPTY_GC
             h = md5_u64_strings(grams)
-            pos = np.searchsorted(cset, h)
-            pos[pos >= len(cset)] = 0
-            m = cset[pos] == h
+            part = (h & np.uint64(n_parts - 1)).astype(np.int32)
+            # one argsort groups rows by part; each part's probe is then a
+            # contiguous slice (not n_parts full boolean passes over the batch)
+            order = np.argsort(part, kind="stable")
+            h_s = h[order]
+            part_s = part[order]
+            seg = np.flatnonzero(np.r_[True, part_s[1:] != part_s[:-1]])
+            seg_end = np.r_[seg[1:], len(part_s)]
+            m_s = np.zeros(len(h), dtype=bool)
+            for lo, hi in zip(seg, seg_end):
+                r = refs.get(int(part_s[lo]))
+                if r is None:
+                    continue
+                cset = _ray.get(r)
+                hp = h_s[lo:hi]
+                pos = np.searchsorted(cset, hp)
+                pos[pos >= len(cset)] = 0
+                m_s[lo:hi] = cset[pos] == hp
+            m = np.zeros(len(h), dtype=bool)
+            m[order] = m_s
             if not m.any():
                 return _EMPTY_GC
             vc = pc.value_counts(grams.filter(pa.array(m)))
