@@ -2122,6 +2122,76 @@ def q_sequence_dedup(sf_dir: str):
     return sequence_dedup(_doc_tokens_ds(sf_dir, with_tokens=True))
 
 
+SQL_PACK_SEQUENCES = """
+WITH tok AS (
+  SELECT doc_id, 16 + (31 * n_chars + 7 * doc_id) % 2033 AS n_tok
+  FROM documents
+), off AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+  FROM tok
+)
+SELECT doc_id, n_tok::BIGINT AS n_tok, tok_offset::BIGINT AS tok_offset,
+       (tok_offset // 1024)::BIGINT AS first_example,
+       ((tok_offset + n_tok - 1) // 1024)::BIGINT AS last_example
+FROM off
+"""
+
+
+SQL_PACK_EXAMPLES = """
+WITH tok AS (
+  SELECT doc_id, 16 + (31 * n_chars + 7 * doc_id) % 2033 AS n_tok
+  FROM documents
+), off AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+  FROM tok
+), spans AS (
+  SELECT doc_id,
+         UNNEST(range((tok_offset // 1024)::BIGINT,
+                      ((tok_offset + n_tok - 1) // 1024 + 1)::BIGINT))
+           AS example_id
+  FROM off
+), total AS (SELECT SUM(n_tok) AS t FROM tok)
+SELECT example_id::BIGINT AS example_id,
+       COUNT(*)::BIGINT AS n_docs,
+       LEAST(1024, (SELECT t FROM total) - example_id * 1024)::BIGINT AS n_tokens
+FROM spans GROUP BY example_id
+"""
+
+
+def _read_docs_for_packing(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"],
+        override_num_blocks=16,
+    )
+
+
+def q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing (GPT-style pretraining layout): the
+    per-document manifest of where each doc's tokens land in the packed
+    ctx=1024 example stream. Two streaming passes (counting pre-pass +
+    broadcast carry-ins, then a stateless closed-form scan) — no shuffle;
+    the only global state is O(blocks) carry-in integers."""
+    from scala_timeseries_lib_ray.pipelines.packing import pack_sequences
+
+    return pack_sequences(_read_docs_for_packing(sf_dir), ctx=1024)
+
+
+def q_pack_examples(sf_dir: str):
+    """Per-example view of the packed stream (how many docs feed each ctx-token
+    training example, and the tail example's short length): per-block partial
+    doc counts via a difference-array interval-add, then a tiny
+    groupby(example_id) over O(total_tokens/ctx) partial rows."""
+    from scala_timeseries_lib_ray.pipelines.packing import pack_examples
+
+    return pack_examples(_read_docs_for_packing(sf_dir), ctx=1024)
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-family per-doc repetition metrics (top-word / top-bigram fractions,
     distinct ratio): stateless vectorized map_batches, no shuffle. Oracle mirrors
@@ -2376,6 +2446,8 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "ev_cumsum": q_ev_cumsum,
         "salient_terms": q_salient_terms,
         "embedding_kmeans": q_embedding_kmeans,
+        "pack_sequences": q_pack_sequences,
+        "pack_examples": q_pack_examples,
     }
 
 
@@ -2407,4 +2479,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "ev_cumsum": SQL_EV_CUMSUM,
         "salient_terms": SQL_SALIENT_TERMS,
         "embedding_kmeans": _sql_embedding_kmeans(),
+        "pack_sequences": SQL_PACK_SEQUENCES,
+        "pack_examples": SQL_PACK_EXAMPLES,
     }
