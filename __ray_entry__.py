@@ -2192,6 +2192,71 @@ def q_pack_examples(sf_dir: str):
     return pack_examples(_read_docs_for_packing(sf_dir), ctx=1024)
 
 
+SQL_DUP_GRAM_FRACTION = """
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS gram
+      FROM w, unnest(range(1, len(ws) - 3)) t(i)),
+df AS (SELECT gram, COUNT(*)::BIGINT AS df FROM g GROUP BY 1),
+per AS (SELECT g.doc_id, COUNT(*)::BIGINT AS n_grams,
+               SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+        FROM g JOIN df USING (gram) GROUP BY 1)
+SELECT d.doc_id, COALESCE(per.n_grams, 0)::BIGINT AS n_grams,
+       COALESCE(per.n_dup, 0)::BIGINT AS n_dup,
+       COALESCE(per.n_dup, 0)::DOUBLE / GREATEST(COALESCE(per.n_grams, 0), 1) AS dup_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+SQL_SOURCE_MIX = """
+SELECT doc_id, source, n_chars FROM documents
+WHERE md5_number_lower(doc_id::VARCHAR) % 1000
+      < (CAST(SUBSTR(source, 4) AS INT) % 4 + 1) * 250
+"""
+
+
+SQL_KNN_GRAPH = """
+WITH s AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, e.embedding) AS sim
+  FROM embeddings q, embeddings e WHERE e.vec_id <> q.vec_id)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+         AS "rank"
+FROM s QUALIFY "rank" <= 5
+"""
+
+
+def q_dup_gram_fraction(sf_dir: str):
+    """Per-doc cross-corpus duplicated-5-gram fraction (boilerplate score):
+    candidate-bounded hash2pass — part-keyed hash-df exchange, sharded
+    candidate broadcast, string-exact recount; no corpus-sized shuffle."""
+    from scala_timeseries_lib_ray.pipelines.corpus import dup_gram_fraction
+
+    return dup_gram_fraction(_docs_ds(sf_dir))
+
+
+def q_source_mix(sf_dir: str):
+    """Deterministic weighted source mixing (domain reweighting): keep rate
+    (i%4+1)/4 for src{i} via md5(doc_id) % 1000 thresholds. Stateless filter
+    map_batches, dictionary-encoded source lookup, no shuffle."""
+    from scala_timeseries_lib_ray.pipelines.corpus import source_mix
+
+    rates = {f"src{i}": (i % 4 + 1) / 4 for i in range(20)}
+    return source_mix(
+        _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars")), rates, mod=1000
+    )
+
+
+def q_knn_graph(sf_dir: str):
+    """Exact all-pairs KNN graph (top-5 cosine neighbors per vector):
+    block-nested loop over broadcast corpus chunks, one streaming query pass,
+    zero shuffle; per-query rank via a single vectorized lexsort."""
+    from scala_timeseries_lib_ray.pipelines.knn import knn_graph
+
+    return knn_graph(_emb_ds(sf_dir), k=5, chunk_rows=1024)
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-family per-doc repetition metrics (top-word / top-bigram fractions,
     distinct ratio): stateless vectorized map_batches, no shuffle. Oracle mirrors
@@ -2448,6 +2513,9 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": q_embedding_kmeans,
         "pack_sequences": q_pack_sequences,
         "pack_examples": q_pack_examples,
+        "dup_gram_fraction": q_dup_gram_fraction,
+        "source_mix": q_source_mix,
+        "knn_graph": q_knn_graph,
     }
 
 
@@ -2481,4 +2549,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "embedding_kmeans": _sql_embedding_kmeans(),
         "pack_sequences": SQL_PACK_SEQUENCES,
         "pack_examples": SQL_PACK_EXAMPLES,
+        "dup_gram_fraction": SQL_DUP_GRAM_FRACTION,
+        "source_mix": SQL_SOURCE_MIX,
+        "knn_graph": SQL_KNN_GRAPH,
     }

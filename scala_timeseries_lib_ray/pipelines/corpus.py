@@ -648,3 +648,267 @@ def salient_terms(
     return counts.repartition(fanin[-1]).map_batches(
         topk, batch_size=None, batch_format="pyarrow"
     )
+
+
+def _doc_gram_strings(
+    t: pa.Table, n: int
+) -> tuple[np.ndarray, pa.Array | None, np.ndarray | None]:
+    """(doc_ids, flat n-gram string array, per-gram doc index) for a batch.
+
+    Every n-word window of every doc (all occurrences); grams never cross a
+    document boundary. Entirely Arrow-vectorized (shared tokenizer front-end +
+    join-element-wise windows, same construction as ``duplicate_ngrams``)."""
+    ids, W, docpos, _ = _word_codes_batch(t)
+    total = len(W)
+    if total < n:
+        return ids, None, None
+    parts = [W.slice(j, total - n + 1) for j in range(n)]
+    joined = pc.binary_join_element_wise(*parts, " ")
+    valid = docpos[: total - n + 1] == docpos[n - 1 :]
+    if not valid.any():
+        return ids, None, None
+    return ids, joined.filter(pa.array(valid)), docpos[: total - n + 1][valid]
+
+
+def dup_gram_fraction(
+    docs: ray.data.Dataset, n: int = 5, n_parts: int = 64
+) -> ray.data.Dataset:
+    """Per-document cross-corpus boilerplate score: of the doc's DISTINCT word
+    n-grams, the fraction that occur in at least one OTHER document (document
+    frequency >= 2). The per-doc complement of :func:`duplicate_ngrams` — the
+    score a RefinedWeb/C4-style filter thresholds to drop template pages —
+    and of :func:`repetition_stats` (which is within-doc only).
+
+    Exact at any scale via the same candidate-bounded hash2pass shape as
+    ``duplicate_ngrams`` (a string-duplicate gram is always a hash-duplicate,
+    so the hash pass yields a superset; string-level recount kills collisions):
+
+    1. hash-df pass: per-batch per-doc-distinct gram hashes -> part-keyed
+       ``groupby`` (bounded key cardinality) -> hashes with df >= 2, kept as
+       per-part sorted membership arrays (sharded ``ray.put``, never one
+       object holding the full set).
+    2. base pass: stateless per-doc distinct-gram counts (no shuffle).
+    3. probe pass: re-scan emitting only candidate (gram, doc) pairs; a
+       part-keyed exchange recounts df BY STRING, keeps df >= 2, and emits
+       per-doc partial dup counts.
+    Final: union of base and partial rows -> tiny ``groupby(doc_id)`` sum ->
+    closed-form fraction. Three tokenize scans, zero corpus-sized shuffles;
+    the only exchanged rows are candidate-bounded pairs and O(docs) partials.
+    """
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    if n_parts & (n_parts - 1):
+        raise ValueError(f"n_parts must be a power of two, got {n_parts}")
+
+    _EMPTY_H = pa.table(
+        {
+            "h": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+            "part": pa.array([], pa.int32()),
+        }
+    )
+
+    def _distinct_mask(codes: np.ndarray, gdoc: np.ndarray) -> np.ndarray:
+        """First occurrence of each (doc, gram-code) pair."""
+        order = np.lexsort((codes, gdoc))
+        c_s, d_s = codes[order], gdoc[order]
+        new = np.r_[True, (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        mask = np.zeros(len(codes), dtype=bool)
+        mask[order] = new
+        return mask
+
+    def _codes(grams: pa.Array) -> np.ndarray:
+        enc = pc.dictionary_encode(grams)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        return np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+
+    def hash_partial(t: pa.Table) -> pa.Table:
+        ids, grams, gdoc = _doc_gram_strings(t, n)
+        if grams is None:
+            return _EMPTY_H
+        keep = _distinct_mask(_codes(grams), gdoc)
+        h = md5_u64_strings(grams.filter(pa.array(keep)))
+        vals, cnts = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(vals.view(np.int64), pa.int64()),
+                "cnt": pa.array(cnts.astype(np.int64)),
+                "part": pa.array((vals & np.uint64(n_parts - 1)).astype(np.int32)),
+            }
+        )
+
+    def part_dups(t: pa.Table) -> pa.Table:
+        part = t.column("part")[0]
+        g = t.drop_columns(["part"]).group_by(["h"]).aggregate([("cnt", "sum")])
+        g = g.filter(pc.greater_equal(g.column("cnt_sum"), 2)).select(["h"])
+        return g.append_column(
+            "part", pa.array(np.full(g.num_rows, part.as_py(), np.int32))
+        )
+
+    hc = (
+        docs.map_batches(hash_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_dups, batch_format="pyarrow")
+    )
+    per_part: dict[int, list[np.ndarray]] = {}
+    for tb in hc.iter_batches(batch_size=None, batch_format="pyarrow"):
+        hs = np.asarray(tb.column("h").to_numpy(zero_copy_only=False), np.int64)
+        ps = np.asarray(tb.column("part").to_numpy(zero_copy_only=False))
+        for p in np.unique(ps):
+            per_part.setdefault(int(p), []).append(hs[ps == p].view(np.uint64))
+    refs = {
+        p: _ray.put(np.sort(np.concatenate(chunks))) for p, chunks in per_part.items()
+    }
+
+    _EMPTY_OUT = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_grams": pa.array([], pa.int64()),
+            "n_dup": pa.array([], pa.int64()),
+        }
+    )
+
+    def base_counts(t: pa.Table) -> pa.Table:
+        ids, grams, gdoc = _doc_gram_strings(t, n)
+        ng = np.zeros(len(ids), np.int64)
+        if grams is not None:
+            keep = _distinct_mask(_codes(grams), gdoc)
+            ng = np.bincount(gdoc[keep], minlength=len(ids)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False)),
+                    pa.int64(),
+                ),
+                "n_grams": pa.array(ng),
+                "n_dup": pa.array(np.zeros(len(ids), np.int64)),
+            }
+        )
+
+    _EMPTY_PAIR = pa.table(
+        {
+            "part": pa.array([], pa.int32()),
+            "gram": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+        }
+    )
+
+    def probe(t: pa.Table) -> pa.Table:
+        ids, grams, gdoc = _doc_gram_strings(t, n)
+        if grams is None or not refs:
+            return _EMPTY_PAIR
+        keep = _distinct_mask(_codes(grams), gdoc)
+        grams = grams.filter(pa.array(keep))
+        gdoc = gdoc[keep]
+        h = md5_u64_strings(grams)
+        part = (h & np.uint64(n_parts - 1)).astype(np.int32)
+        order = np.argsort(part, kind="stable")
+        h_s, part_s = h[order], part[order]
+        seg = np.flatnonzero(np.r_[True, part_s[1:] != part_s[:-1]])
+        seg_end = np.r_[seg[1:], len(part_s)]
+        m_s = np.zeros(len(h), dtype=bool)
+        for lo, hi in zip(seg, seg_end):
+            r = refs.get(int(part_s[lo]))
+            if r is None:
+                continue
+            cset = _ray.get(r)
+            hp = h_s[lo:hi]
+            pos = np.searchsorted(cset, hp)
+            pos[pos >= len(cset)] = 0
+            m_s[lo:hi] = cset[pos] == hp
+        m = np.zeros(len(h), dtype=bool)
+        m[order] = m_s
+        if not m.any():
+            return _EMPTY_PAIR
+        sel = pa.array(m)
+        return pa.table(
+            {
+                "part": pa.array(part[m], pa.int32()),
+                "gram": grams.filter(sel),
+                "doc_id": pa.array(
+                    np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))[
+                        gdoc[m]
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def part_ndup(t: pa.Table) -> pa.Table:
+        # rows are per-doc distinct (gram, doc) pairs -> df(gram) = row count
+        codes = _codes(t.column("gram").combine_chunks())
+        _, inv, cnts = np.unique(codes, return_inverse=True, return_counts=True)
+        kept = cnts[inv] >= 2
+        if not kept.any():
+            return _EMPTY_OUT
+        docs_kept = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))[kept]
+        u_doc, nd = np.unique(docs_kept, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(u_doc, pa.int64()),
+                "n_grams": pa.array(np.zeros(len(u_doc), np.int64)),
+                "n_dup": pa.array(nd.astype(np.int64)),
+            }
+        )
+
+    base = docs.map_batches(base_counts, batch_format="pyarrow")
+    partials = (
+        docs.map_batches(probe, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_ndup, batch_format="pyarrow")
+    )
+    summed = base.union(partials).groupby("doc_id").aggregate(
+        Sum("n_grams", alias_name="n_grams"), Sum("n_dup", alias_name="n_dup")
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        ng = np.asarray(t.column("n_grams").to_numpy(zero_copy_only=False), np.int64)
+        nd = np.asarray(t.column("n_dup").to_numpy(zero_copy_only=False), np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "n_grams": pa.array(ng),
+                "n_dup": pa.array(nd),
+                "dup_frac": pa.array(nd / np.maximum(ng, 1).astype(np.float64)),
+            }
+        )
+
+    return summed.map_batches(finalize, batch_format="pyarrow")
+
+
+def source_mix(
+    docs: ray.data.Dataset,
+    rates: dict[str, float],
+    mod: int = 1000,
+    default: float = 1.0,
+    id_col: str = "doc_id",
+    key_col: str = "source",
+) -> ray.data.Dataset:
+    """Deterministic weighted source mixing (domain reweighting): keep a row
+    when ``md5(str(id)) % mod < round(rates[source] * mod)``. The standard
+    way a pretraining pipeline downsamples over-represented domains to hit a
+    target mixture — reproducible (no RNG), stream-safe, resumable, and
+    composable with :func:`hash_sample` splits.
+
+    Stateless filter map_batches; the rates dict is captured in the closure
+    (tiny — ship it per task, no shuffle). Per-row lookup is vectorized:
+    sources are dictionary-encoded per batch and only the batch's DISTINCT
+    sources hit the Python dict."""
+    if not 0 < mod:
+        raise ValueError(f"mod must be positive, got {mod}")
+    thr = {k: int(round(v * mod)) for k, v in rates.items()}
+    dthr = int(round(default * mod))
+
+    def f(t: pa.Table) -> pa.Table:
+        h = md5_u64_strings(pc.cast(t.column(id_col), pa.string())) % np.uint64(mod)
+        enc = pc.dictionary_encode(t.column(key_col))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        uniq = enc.dictionary.to_pylist()
+        lut = np.array([thr.get(s, dthr) for s in uniq], dtype=np.int64)
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        return t.filter(pa.array(h.astype(np.int64) < lut[codes]))
+
+    return docs.map_batches(f, batch_format="pyarrow")

@@ -1,0 +1,177 @@
+"""knn_graph / source_mix / dup_gram_fraction: brute-force parity on synthetic
+inputs, multi-chunk and edge-case paths."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _emb_table(n=300, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, dim)).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(X), pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(n, np.int32)),
+        }
+    )
+
+
+def _brute_knn(t: pa.Table, k: int) -> pd.DataFrame:
+    ids = np.array(t.column("vec_id").to_pylist())
+    X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    rows = []
+    for i in range(len(ids)):
+        sims = [(-S[i, j], ids[j]) for j in range(len(ids)) if j != i]
+        sims.sort()
+        for r, (_, nb) in enumerate(sims[:k], 1):
+            rows.append((ids[i], nb, r))
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"])
+
+
+@pytest.mark.parametrize("chunk_rows", [64, 1000])
+def test_knn_graph_matches_bruteforce(ray_session, chunk_rows):
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.knn import knn_graph
+
+    t = _emb_table()
+    ds = ray.data.from_arrow([t.slice(i, 100) for i in range(0, t.num_rows, 100)])
+    got = (
+        knn_graph(ds, k=5, chunk_rows=chunk_rows)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = _brute_knn(t, 5)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_knn_graph_k_larger_than_corpus(ray_session):
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.knn import knn_graph
+
+    t = _emb_table(n=4)
+    got = knn_graph(ray.data.from_arrow(t), k=10, chunk_rows=2).to_pandas()
+    # each vector has only 3 possible neighbors
+    assert len(got) == 12
+    assert got.groupby("query_id")["rank"].max().eq(3).all()
+    with pytest.raises(ValueError):
+        knn_graph(ray.data.from_arrow(t), k=0)
+
+
+def _docs_table():
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",  # shares 5-grams w/ 1
+        "quick brown fox jumps over the lazy dog again and again",
+        "completely different words entirely unique content here now then",
+        "short text",  # < 5 words -> zero grams
+        "the quick brown fox jumps high",  # shares 'the quick brown fox jumps' w/ 0
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+
+
+def _brute_dup_frac(t: pa.Table, n=5) -> pd.DataFrame:
+    import re
+
+    docs = {r["doc_id"]: re.findall(r"[a-z0-9]+", r["text"].lower()) for r in t.to_pylist()}
+    gsets = {
+        d: {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+        for d, ws in docs.items()
+    }
+    df: dict[str, int] = {}
+    for gs in gsets.values():
+        for g in gs:
+            df[g] = df.get(g, 0) + 1
+    rows = []
+    for d, gs in gsets.items():
+        nd = sum(1 for g in gs if df[g] >= 2)
+        rows.append((d, len(gs), nd, nd / max(len(gs), 1)))
+    return pd.DataFrame(rows, columns=["doc_id", "n_grams", "n_dup", "dup_frac"])
+
+
+def test_dup_gram_fraction_matches_bruteforce(ray_session):
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.corpus import dup_gram_fraction
+
+    t = _docs_table()
+    ds = ray.data.from_arrow([t.slice(i, 2) for i in range(0, t.num_rows, 2)])
+    got = (
+        dup_gram_fraction(ds, n=5, n_parts=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, _brute_dup_frac(t))
+    # sanity on the planted structure
+    byid = got.set_index("doc_id")
+    assert byid.loc[3, "n_grams"] == 0 and byid.loc[3, "dup_frac"] == 0.0
+    assert byid.loc[2, "n_dup"] == 0
+    assert byid.loc[0, "n_dup"] > 0 and byid.loc[4, "n_dup"] > 0
+
+
+def test_dup_gram_fraction_fuzz_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.corpus import dup_gram_fraction
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(30)]  # tiny vocab -> many real collisions
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 40))) for _ in range(200)]
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(200, dtype=np.int64)), "text": pa.array(texts)}
+    )
+    ds = ray.data.from_arrow([t.slice(i, 37) for i in range(0, t.num_rows, 37)])
+    got = (
+        dup_gram_fraction(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    import __ray_entry__ as em
+
+    want = (
+        con.sql(em.SQL_DUP_GRAM_FRACTION).df().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_source_mix_rates_and_default(ray_session):
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.corpus import source_mix
+    from scala_timeseries_lib_ray.pipelines.dataprep import md5_u64_strings
+
+    n = 400
+    src = np.array([f"s{i % 3}" for i in range(n)])
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(n, dtype=np.int64)), "source": pa.array(src)}
+    )
+    rates = {"s0": 0.0, "s1": 0.5}
+    got = source_mix(
+        ray.data.from_arrow(t), rates, mod=100, default=1.0
+    ).to_pandas()
+    h = md5_u64_strings(pa.array([str(i) for i in range(n)])) % np.uint64(100)
+    keep = np.where(
+        src == "s0", False, np.where(src == "s1", h < 50, True)
+    )
+    want = pd.DataFrame({"doc_id": np.arange(n)[keep], "source": src[keep]})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want.reset_index(drop=True))
+    assert (got.source == "s0").sum() == 0
+    assert (got.source == "s2").sum() == np.sum(src == "s2")  # default rate 1.0
+    with pytest.raises(ValueError):
+        source_mix(ray.data.from_arrow(t), rates, mod=0)
