@@ -681,22 +681,28 @@ def dup_gram_fraction(
 
     Exact at any scale via the same candidate-bounded hash2pass shape as
     ``duplicate_ngrams`` (a string-duplicate gram is always a hash-duplicate,
-    so the hash pass yields a superset; string-level recount kills collisions):
+    so the hash pass yields a superset; string-level verification kills
+    collisions):
 
     1. hash-df pass: per-batch per-doc-distinct gram hashes -> part-keyed
        ``groupby`` (bounded key cardinality) -> hashes with df >= 2, kept as
        per-part sorted membership arrays (sharded ``ray.put``, never one
        object holding the full set).
-    2. base pass: stateless per-doc distinct-gram counts (no shuffle).
-    3. probe pass: re-scan emitting only candidate (gram, doc) pairs; a
-       part-keyed exchange recounts df BY STRING, keeps df >= 2, and emits
-       per-doc partial dup counts.
-    Final: union of base and partial rows -> tiny ``groupby(doc_id)`` sum ->
-    closed-form fraction. Three tokenize scans, zero corpus-sized shuffles;
-    the only exchanged rows are candidate-bounded pairs and O(docs) partials.
+    2. verify pass: re-scan emitting only candidate (gram, doc) pairs; a
+       part-keyed exchange recounts df BY STRING (a gram's pairs all land in
+       its own part, so each part sees complete counts) and keeps the gram
+       STRINGS with true df >= 2, again as per-part sharded broadcasts
+       (sorted hash runs + aligned strings, so the final probe confirms by
+       string equality — collision-proof).
+    3. final pass: one stateless scan computing per-doc distinct-gram counts
+       and membership in the verified set; emits the finished rows directly.
+
+    Three tokenize scans, TWO part-keyed exchanges over candidate-bounded
+    pairs, zero corpus-sized shuffles and no doc-keyed barrier at all (an
+    earlier union + groupby(doc_id) merge measured ~2x the wall time from the
+    extra AllToAll span on this host).
     """
     import ray as _ray
-    from ray.data.aggregate import Sum
 
     if n_parts & (n_parts - 1):
         raise ValueError(f"n_parts must be a power of two, got {n_parts}")
@@ -762,31 +768,6 @@ def dup_gram_fraction(
         p: _ray.put(np.sort(np.concatenate(chunks))) for p, chunks in per_part.items()
     }
 
-    _EMPTY_OUT = pa.table(
-        {
-            "doc_id": pa.array([], pa.int64()),
-            "n_grams": pa.array([], pa.int64()),
-            "n_dup": pa.array([], pa.int64()),
-        }
-    )
-
-    def base_counts(t: pa.Table) -> pa.Table:
-        ids, grams, gdoc = _doc_gram_strings(t, n)
-        ng = np.zeros(len(ids), np.int64)
-        if grams is not None:
-            keep = _distinct_mask(_codes(grams), gdoc)
-            ng = np.bincount(gdoc[keep], minlength=len(ids)).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": pa.array(
-                    np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False)),
-                    pa.int64(),
-                ),
-                "n_grams": pa.array(ng),
-                "n_dup": pa.array(np.zeros(len(ids), np.int64)),
-            }
-        )
-
     _EMPTY_PAIR = pa.table(
         {
             "part": pa.array([], pa.int32()),
@@ -836,46 +817,121 @@ def dup_gram_fraction(
             }
         )
 
-    def part_ndup(t: pa.Table) -> pa.Table:
-        # rows are per-doc distinct (gram, doc) pairs -> df(gram) = row count
-        codes = _codes(t.column("gram").combine_chunks())
-        _, inv, cnts = np.unique(codes, return_inverse=True, return_counts=True)
-        kept = cnts[inv] >= 2
-        if not kept.any():
-            return _EMPTY_OUT
-        docs_kept = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))[kept]
-        u_doc, nd = np.unique(docs_kept, return_counts=True)
+    _EMPTY_VER = pa.table(
+        {
+            "h": pa.array([], pa.int64()),
+            "gram": pa.array([], pa.string()),
+            "part": pa.array([], pa.int32()),
+        }
+    )
+
+    def part_verified(t: pa.Table) -> pa.Table:
+        # rows are per-doc distinct (gram, doc) pairs -> df(gram) = row count;
+        # keep the distinct gram STRINGS with true df >= 2
+        part = t.column("part")[0]
+        grams = t.column("gram").combine_chunks()
+        codes = _codes(grams)
+        _, first, cnts = np.unique(codes, return_index=True, return_counts=True)
+        kept = first[cnts >= 2]
+        if not len(kept):
+            return _EMPTY_VER
+        vg = grams.take(pa.array(kept))
         return pa.table(
             {
-                "doc_id": pa.array(u_doc, pa.int64()),
-                "n_grams": pa.array(np.zeros(len(u_doc), np.int64)),
-                "n_dup": pa.array(nd.astype(np.int64)),
+                "h": pa.array(md5_u64_strings(vg).view(np.int64), pa.int64()),
+                "gram": vg,
+                "part": pa.array(
+                    np.full(len(kept), part.as_py(), np.int32)
+                ),
             }
         )
 
-    base = docs.map_batches(base_counts, batch_format="pyarrow")
-    partials = (
+    ver = (
         docs.map_batches(probe, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(part_ndup, batch_format="pyarrow")
+        .map_groups(part_verified, batch_format="pyarrow")
     )
-    summed = base.union(partials).groupby("doc_id").aggregate(
-        Sum("n_grams", alias_name="n_grams"), Sum("n_dup", alias_name="n_dup")
-    )
+    # per part: hashes sorted with their verified strings aligned; equal-hash
+    # runs (two TRUE-dup grams colliding) are handled by probing the whole run
+    ver_parts: dict[int, tuple[list[np.ndarray], list[pa.Array]]] = {}
+    for tb in ver.iter_batches(batch_size=None, batch_format="pyarrow"):
+        hs = np.asarray(tb.column("h").to_numpy(zero_copy_only=False), np.int64)
+        ps = np.asarray(tb.column("part").to_numpy(zero_copy_only=False))
+        g = tb.column("gram").combine_chunks()
+        for p in np.unique(ps):
+            m = ps == p
+            hl, gl = ver_parts.setdefault(int(p), ([], []))
+            hl.append(hs[m].view(np.uint64))
+            gl.append(g.filter(pa.array(m)))
+    vrefs = {}
+    for p, (hl, gl) in ver_parts.items():
+        h_all = np.concatenate(hl)
+        g_all = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in gl])
+        order = np.argsort(h_all, kind="stable")
+        vrefs[p] = _ray.put((h_all[order], g_all.take(pa.array(order))))
 
-    def finalize(t: pa.Table) -> pa.Table:
-        ng = np.asarray(t.column("n_grams").to_numpy(zero_copy_only=False), np.int64)
-        nd = np.asarray(t.column("n_dup").to_numpy(zero_copy_only=False), np.int64)
+    def final(t: pa.Table) -> pa.Table:
+        ids, grams, gdoc = _doc_gram_strings(t, n)
+        ng = np.zeros(len(ids), np.int64)
+        nd = np.zeros(len(ids), np.int64)
+        if grams is not None:
+            keep = _distinct_mask(_codes(grams), gdoc)
+            grams = grams.filter(pa.array(keep))
+            gdoc = gdoc[keep]
+            ng = np.bincount(gdoc, minlength=len(ids)).astype(np.int64)
+            if vrefs:
+                h = md5_u64_strings(grams)
+                part = (h & np.uint64(n_parts - 1)).astype(np.int32)
+                order = np.argsort(part, kind="stable")
+                h_s, part_s = h[order], part[order]
+                g_s = grams.take(pa.array(order))
+                seg = np.flatnonzero(np.r_[True, part_s[1:] != part_s[:-1]])
+                seg_end = np.r_[seg[1:], len(part_s)]
+                m_s = np.zeros(len(h), dtype=bool)
+                for lo, hi in zip(seg, seg_end):
+                    r = vrefs.get(int(part_s[lo]))
+                    if r is None:
+                        continue
+                    vh, vg = _ray.get(r)
+                    hp = h_s[lo:hi]
+                    pos = np.searchsorted(vh, hp)
+                    matched = np.zeros(hi - lo, dtype=bool)
+                    active = pos < len(vh)
+                    active[active] = vh[pos[active]] == hp[active]
+                    off = 0
+                    # walk equal-hash runs (length 1 in practice): confirm by string
+                    while active.any():
+                        idx = pos + off
+                        ok = active & (idx < len(vh))
+                        if ok.any():
+                            ok[ok] = vh[idx[ok]] == hp[ok]
+                        if not ok.any():
+                            break
+                        rows = np.flatnonzero(ok)
+                        eq = pc.equal(
+                            g_s.take(pa.array(rows + lo)), vg.take(pa.array(idx[rows]))
+                        )
+                        eqn = np.asarray(eq.to_numpy(zero_copy_only=False))
+                        matched[rows[eqn]] = True
+                        active = ok & ~matched
+                        off += 1
+                    m_s[lo:hi] = matched
+                m = np.zeros(len(h), dtype=bool)
+                m[order] = m_s
+                nd = np.bincount(gdoc[m], minlength=len(ids)).astype(np.int64)
         return pa.table(
             {
-                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "doc_id": pa.array(
+                    np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False)),
+                    pa.int64(),
+                ),
                 "n_grams": pa.array(ng),
                 "n_dup": pa.array(nd),
                 "dup_frac": pa.array(nd / np.maximum(ng, 1).astype(np.float64)),
             }
         )
 
-    return summed.map_batches(finalize, batch_format="pyarrow")
+    return docs.map_batches(final, batch_format="pyarrow")
 
 
 def source_mix(
