@@ -2257,6 +2257,118 @@ def q_knn_graph(sf_dir: str):
     return knn_graph(_emb_ds(sf_dir), k=5, chunk_rows=1024)
 
 
+SQL_PART_BRAND_REVENUE = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc
+  FROM lineitem)
+SELECT p.p_brand AS brand,
+       COUNT(*)::BIGINT AS n_items,
+       SUM(li.cents * (100 - li.disc))::BIGINT AS revenue_c4
+FROM li JOIN part p ON li.l_partkey = p.p_partkey
+GROUP BY 1
+"""
+
+
+SQL_ORDER_PRIORITY_REVENUE = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc
+  FROM lineitem)
+SELECT o.o_orderpriority AS priority,
+       COUNT(*)::BIGINT AS n_items,
+       SUM(li.cents * (100 - li.disc))::BIGINT AS revenue_c4
+FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
+def _revenue_partial(brand_col: str):
+    """Per-batch partial aggregation of integer-cents revenue by a key column —
+    the combiner that keeps the post-join shuffle at |keys| x |batches| rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            np.asarray(t.column("l_extendedprice").to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        disc = np.rint(
+            np.asarray(t.column("l_discount").to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        rev = cents * (100 - disc)
+        g = pa.table(
+            {brand_col: t.column(brand_col), "revenue_c4": pa.array(rev), "n_items": pa.array(np.ones(len(rev), np.int64))}
+        )
+        out = g.group_by([brand_col]).aggregate([("revenue_c4", "sum"), ("n_items", "sum")])
+        return out.rename_columns([brand_col, "revenue_c4", "n_items"])
+
+    return partial
+
+
+def q_part_brand_revenue(sf_dir: str):
+    """Fact-dimension join + aggregate: lineitem joined to the part catalog via
+    the broadcast map-side join (ray.put once, vectorized searchsorted probe per
+    batch — no shuffle of the fact table), per-batch integer-cents partials,
+    then a 25-key groupby over partials only."""
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    from scala_timeseries_lib_ray.pipelines.relational import broadcast_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        override_num_blocks=16,
+    )
+    pt = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    joined = broadcast_join(li, pt, key="l_partkey", right_key="p_partkey")
+    partials = joined.map_batches(_revenue_partial("p_brand"), batch_format="pyarrow")
+    out = partials.groupby("p_brand").aggregate(
+        Sum("revenue_c4", alias_name="revenue_c4"), Sum("n_items", alias_name="n_items")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["brand", "revenue_c4", "n_items"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_order_priority_revenue(sf_dir: str):
+    """Large-large equi-join: lineitem x orders through Ray Data's partitioned
+    hash join (both sides exchanged once, 16 key-hash partitions bounding the
+    per-partition working set), then the same partial-aggregation combiner."""
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    from scala_timeseries_lib_ray.pipelines.relational import shuffle_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        override_num_blocks=16,
+    )
+    od = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = shuffle_join(
+        li, od, on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=16
+    )
+    partials = joined.map_batches(
+        _revenue_partial("o_orderpriority"), batch_format="pyarrow"
+    )
+    out = partials.groupby("o_orderpriority").aggregate(
+        Sum("revenue_c4", alias_name="revenue_c4"), Sum("n_items", alias_name="n_items")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["priority", "revenue_c4", "n_items"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-family per-doc repetition metrics (top-word / top-bigram fractions,
     distinct ratio): stateless vectorized map_batches, no shuffle. Oracle mirrors
@@ -2516,6 +2628,8 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "dup_gram_fraction": q_dup_gram_fraction,
         "source_mix": q_source_mix,
         "knn_graph": q_knn_graph,
+        "part_brand_revenue": q_part_brand_revenue,
+        "order_priority_revenue": q_order_priority_revenue,
     }
 
 
@@ -2552,4 +2666,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "dup_gram_fraction": SQL_DUP_GRAM_FRACTION,
         "source_mix": SQL_SOURCE_MIX,
         "knn_graph": SQL_KNN_GRAPH,
+        "part_brand_revenue": SQL_PART_BRAND_REVENUE,
+        "order_priority_revenue": SQL_ORDER_PRIORITY_REVENUE,
     }
