@@ -2257,6 +2257,42 @@ def q_knn_graph(sf_dir: str):
     return knn_graph(_emb_ds(sf_dir), k=5, chunk_rows=1024)
 
 
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, source, rn AS sample_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+            ORDER BY md5_number_lower(doc_id::VARCHAR), doc_id) AS rn
+  FROM documents) WHERE rn <= 10
+"""
+
+
+SQL_NORMALIZE_TEXT = """
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS text_norm
+  FROM documents)
+SELECT doc_id, text_norm, length(text_norm)::BIGINT AS n_chars_norm FROM n
+"""
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-source stratified sample (10 smallest md5(doc_id) per
+    source): two-level top-k — per-batch candidates, then a groupby(source)
+    merge exchanging only k x sources x batches rows."""
+    from scala_timeseries_lib_ray.pipelines.corpus import stratified_sample
+
+    return stratified_sample(
+        _docs_ds(sf_dir, columns=("doc_id", "source")), k=10
+    )
+
+
+def q_normalize_text(sf_dir: str):
+    """Canonical pre-hash text normalization (lowercase, collapse
+    non-alphanumeric runs, trim): Arrow regex kernels, stateless map."""
+    from scala_timeseries_lib_ray.pipelines.corpus import normalize_text
+
+    return normalize_text(_docs_ds(sf_dir))
+
+
 SQL_PART_BRAND_REVENUE = """
 WITH li AS (
   SELECT l_partkey,
@@ -2630,6 +2666,8 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": q_knn_graph,
         "part_brand_revenue": q_part_brand_revenue,
         "order_priority_revenue": q_order_priority_revenue,
+        "stratified_sample": q_stratified_sample,
+        "normalize_text": q_normalize_text,
     }
 
 
@@ -2668,4 +2706,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "knn_graph": SQL_KNN_GRAPH,
         "part_brand_revenue": SQL_PART_BRAND_REVENUE,
         "order_priority_revenue": SQL_ORDER_PRIORITY_REVENUE,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "normalize_text": SQL_NORMALIZE_TEXT,
     }

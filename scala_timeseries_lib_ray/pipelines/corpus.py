@@ -968,3 +968,120 @@ def source_mix(
         return t.filter(pa.array(h.astype(np.int64) < lut[codes]))
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def _per_key_smallest(
+    keys: np.ndarray, h: np.ndarray, ids: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Indices of the k smallest (h, id) rows per key, plus their 1-based rank.
+
+    One lexsort + run-position arithmetic — no per-key loop."""
+    order = np.lexsort((ids, h, keys))
+    ks = keys[order]
+    new = np.r_[True, ks[1:] != ks[:-1]]
+    starts = np.flatnonzero(new)
+    rank = np.arange(len(ks), dtype=np.int64) - starts[np.cumsum(new) - 1] + 1
+    m = rank <= k
+    return order[m], rank[m]
+
+
+def stratified_sample(
+    docs: ray.data.Dataset,
+    k: int = 10,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    combine: str = "root",
+) -> ray.data.Dataset:
+    """Deterministic per-group sampling: for every ``key_col`` value keep the
+    ``k`` rows with the smallest ``(md5(str(id)), id)`` — a reproducible
+    stratified sample (per-domain eval sets, balanced inspection slices)
+    that needs no RNG and is stable under re-partitioning.
+
+    Scale shape = two-level top-k (same argument as ``token_topk``): a row in
+    the global per-key smallest-k is in its batch's smallest-k, so each batch
+    emits at most k rows per key present and the merge only sees those
+    candidates — k x |keys| x |batches| rows, never the corpus. The default
+    ``combine="root"`` merges them in one task (right for a bounded key space
+    like sources/domains; Ray's sort-based groupby costs a multi-second
+    barrier for the same tiny exchange on this host); ``combine="groupby"``
+    co-locates per key for unbounded key spaces.
+
+    Output: (id_col, key_col, sample_rank) with rank 1..k in hash order."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if combine not in ("root", "groupby"):
+        raise ValueError(f"combine must be 'root' or 'groupby', got {combine!r}")
+
+    def _emit(t: pa.Table, idx: np.ndarray, rank: np.ndarray) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t.column(id_col).take(pa.array(idx)).cast(pa.int64()),
+                key_col: t.column(key_col).take(pa.array(idx)),
+                "h": pa.array(
+                    md5_u64_strings(
+                        pc.cast(t.column(id_col).take(pa.array(idx)), pa.string())
+                    ).view(np.int64),
+                    pa.int64(),
+                ),
+                "sample_rank": pa.array(rank, pa.int64()),
+            }
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False))
+        h = md5_u64_strings(pc.cast(t.column(id_col), pa.string()))
+        enc = pc.dictionary_encode(t.column(key_col))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        idx, rank = _per_key_smallest(codes, h, ids, k)
+        return _emit(t, idx, rank)
+
+    def final(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False))
+        h = np.asarray(t.column("h").to_numpy(zero_copy_only=False), np.int64).view(
+            np.uint64
+        )
+        # single key per group, but stay general: re-encode
+        enc = pc.dictionary_encode(t.column(key_col).combine_chunks())
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        idx, rank = _per_key_smallest(codes, h, ids, k)
+        out = pa.table(
+            {
+                id_col: t.column(id_col).take(pa.array(idx)).cast(pa.int64()),
+                key_col: t.column(key_col).take(pa.array(idx)),
+                "sample_rank": pa.array(rank, pa.int64()),
+            }
+        )
+        return out
+
+    cands = docs.map_batches(partial, batch_format="pyarrow")
+    if combine == "groupby":
+        return cands.groupby(key_col).map_groups(final, batch_format="pyarrow")
+    return cands.repartition(1).map_batches(
+        final, batch_size=None, batch_format="pyarrow"
+    )
+
+
+def normalize_text(
+    docs: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """Canonical text normalization pass (the pre-hash cleanup every dedup
+    pipeline runs first): lowercase, collapse every non-alphanumeric run to a
+    single space, trim. Pure Arrow regex kernels, stateless map, no shuffle.
+
+    Output: (id_col, text_norm, n_chars_norm)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(t.column(text_col))
+        x = pc.replace_substring_regex(x, "[^a-z0-9]+", " ")
+        x = pc.utf8_trim(x, " ")
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()),
+                "text_norm": x,
+                "n_chars_norm": pc.utf8_length(x).cast(pa.int64()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
