@@ -2293,6 +2293,37 @@ def q_normalize_text(sf_dir: str):
     return normalize_text(_docs_ds(sf_dir))
 
 
+SQL_CORPUS_EXPORT = """
+SELECT (md5_number_lower(doc_id::VARCHAR) % 16)::BIGINT AS bucket,
+       COUNT(*)::BIGINT AS rows
+FROM documents GROUP BY 1
+"""
+
+
+def q_corpus_export(sf_dir: str):
+    """Resumable bucketed export end-to-end: write the corpus as 16 hash
+    buckets (+ per-bucket manifests) to a fresh dir, then return each bucket's
+    MANIFEST row count — gating both the partitioned write path and the
+    manifest bookkeeping against the closed-form bucket assignment."""
+    import tempfile
+
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.export import export_corpus
+
+    out = tempfile.mkdtemp(prefix="corpus_export_", dir="/tmp")
+    ms = export_corpus(
+        _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars")), out, n_buckets=16
+    )
+    t = pa.table(
+        {
+            "bucket": pa.array(sorted(ms), pa.int64()),
+            "rows": pa.array([ms[b]["rows"] for b in sorted(ms)], pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(t)
+
+
 SQL_PART_BRAND_REVENUE = """
 WITH li AS (
   SELECT l_partkey,
@@ -2668,6 +2699,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue": q_order_priority_revenue,
         "stratified_sample": q_stratified_sample,
         "normalize_text": q_normalize_text,
+        "corpus_export": q_corpus_export,
     }
 
 
@@ -2708,4 +2740,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "order_priority_revenue": SQL_ORDER_PRIORITY_REVENUE,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "normalize_text": SQL_NORMALIZE_TEXT,
+        "corpus_export": SQL_CORPUS_EXPORT,
     }
