@@ -41,7 +41,7 @@ def _normalize(X: np.ndarray) -> np.ndarray:
 
 
 def knn_graph(
-    embeddings: ray.data.Dataset, k: int = 5, chunk_rows: int = 65536
+    embeddings: ray.data.Dataset, k: int = 5, chunk_rows: int = 16384
 ) -> ray.data.Dataset:
     """(query_id, neighbor_id, rank) for every vector's top-k cosine neighbors,
     rank 1..k ordered (similarity desc, neighbor_id asc), self excluded."""
@@ -62,38 +62,68 @@ def knn_graph(
             )
         )
 
-    def partial(t: pa.Table) -> pa.Table:
-        qids, Q = _emb_matrix(t)
-        Qn = _normalize(Q)
-        nq = len(qids)
-        cand_ids, cand_sc = [], []
-        for r in refs:
-            ids, Xn = ray.get(r)
-            S = Qn @ Xn.T  # (nq, chunk)
-            kk = min(k + 1, S.shape[1])  # +1 so self-exclusion never costs a hit
-            idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
-            cand_ids.append(ids[idx])
-            cand_sc.append(np.take_along_axis(S, idx, axis=1))
-        CI = np.concatenate(cand_ids, axis=1)  # (nq, <= (k+1)*C)
-        CS = np.concatenate(cand_sc, axis=1)
-        nc = CI.shape[1]
-        qrow = np.repeat(np.arange(nq, dtype=np.int64), nc)
-        ci, cs = CI.ravel(), CS.ravel()
-        keep = ci != qids[qrow]  # drop self
-        qrow, ci, cs = qrow[keep], ci[keep], cs[keep]
-        # per-query rank: one global lexsort, then position within each query run
-        order = np.lexsort((ci, -cs, qrow))
-        qs, cis = qrow[order], ci[order]
-        new = np.r_[True, qs[1:] != qs[:-1]]
-        starts = np.flatnonzero(new)
-        rank = np.arange(len(qs), dtype=np.int64) - starts[np.cumsum(new) - 1] + 1
-        m = rank <= k
-        return pa.table(
-            {
-                "query_id": pa.array(qids[qs[m]], pa.int64()),
-                "neighbor_id": pa.array(cis[m], pa.int64()),
-                "rank": pa.array(rank[m]),
-            }
-        )
+    class KnnPartial:
+        """Actor-pool stage: the (batch x chunk) score matrix is allocated ONCE
+        per actor and reused via ``np.dot(..., out=...)`` — on this host fresh
+        first-touch pages are the serialized resource (BASELINE.md hardware
+        notes), and a per-batch allocation was measured ~20x slower end to end
+        at 100k x 100k."""
 
-    return embeddings.map_batches(partial, batch_format="pyarrow")
+        def __init__(self):
+            self._buf = np.empty(0, dtype=np.float64)  # flat, grown once
+
+        def _scores(self, Qn: np.ndarray, Xn: np.ndarray) -> np.ndarray:
+            nq, nc = Qn.shape[0], Xn.shape[0]
+            if self._buf.size < nq * nc:
+                self._buf = np.empty(nq * nc, dtype=np.float64)
+            out = self._buf[: nq * nc].reshape(nq, nc)  # flat slice -> C-contiguous
+            np.dot(Qn, Xn.T, out=out)  # F-contig B -> BLAS trans flag, no copy
+            return out
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            qids, Q = _emb_matrix(t)
+            Qn = _normalize(Q)
+            nq = len(qids)
+            rows = np.arange(nq)
+            cand_ids, cand_sc = [], []
+            for r in refs:
+                ids, Xn = ray.get(r)
+                S = self._scores(Qn, Xn)  # (nq, chunk), reused buffer
+                kk = min(k + 1, S.shape[1])  # +1 so self-exclusion never costs a hit
+                # top-kk per row by kk argmax sweeps: reads of faulted pages
+                # scale on this host; argpartition's full-size fresh index
+                # array does not (see class docstring)
+                ci = np.empty((nq, kk), np.int64)
+                cs = np.empty((nq, kk), np.float64)
+                for j in range(kk):
+                    col = S.argmax(axis=1)
+                    cs[:, j] = S[rows, col]
+                    ci[:, j] = ids[col]
+                    S[rows, col] = -np.inf
+                cand_ids.append(ci)
+                cand_sc.append(cs)
+            CI = np.concatenate(cand_ids, axis=1)  # (nq, <= (k+1)*C)
+            CS = np.concatenate(cand_sc, axis=1)
+            nc = CI.shape[1]
+            qrow = np.repeat(np.arange(nq, dtype=np.int64), nc)
+            ci, cs = CI.ravel(), CS.ravel()
+            keep = ci != qids[qrow]  # drop self
+            qrow, ci, cs = qrow[keep], ci[keep], cs[keep]
+            # per-query rank: one global lexsort, then position within each run
+            order = np.lexsort((ci, -cs, qrow))
+            qs, cis = qrow[order], ci[order]
+            new = np.r_[True, qs[1:] != qs[:-1]]
+            starts = np.flatnonzero(new)
+            rank = np.arange(len(qs), dtype=np.int64) - starts[np.cumsum(new) - 1] + 1
+            m = rank <= k
+            return pa.table(
+                {
+                    "query_id": pa.array(qids[qs[m]], pa.int64()),
+                    "neighbor_id": pa.array(cis[m], pa.int64()),
+                    "rank": pa.array(rank[m]),
+                }
+            )
+
+    return embeddings.map_batches(
+        KnnPartial, batch_format="pyarrow", batch_size=1024, concurrency=(1, 16)
+    )
