@@ -2324,6 +2324,77 @@ def q_corpus_export(sf_dir: str):
     return ray.data.from_arrow(t)
 
 
+SQL_CLEAN_PACK = r"""
+WITH st AS (
+  SELECT doc_id, length(text)::BIGINT AS n_chars,
+         length(regexp_extract_all(text, '\S+')) AS n_tokens,
+         CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+           / GREATEST(length(text), 1) AS alpha_ratio
+  FROM documents
+),
+sh AS (
+SELECT doc_id,
+       CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+            WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+            ELSE list_transform(range(1, len(ws) - 1),
+                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+       END AS shingles
+FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents)
+),
+sgd AS (SELECT DISTINCT doc_id, md5_number_lower(u.sh) % 2147483647::UBIGINT AS x
+        FROM sh, unnest(shingles) u(sh)),
+ev AS (SELECT DISTINCT x FROM sgd WHERE doc_id < 20),
+cont AS (SELECT s.doc_id FROM sgd s JOIN ev USING (x) WHERE s.doc_id >= 20
+         GROUP BY 1 HAVING COUNT(*) >= 8),
+surv AS (
+  SELECT doc_id, 16 + (31 * n_chars + 7 * doc_id) % 2033 AS n_tok
+  FROM st
+  WHERE doc_id >= 20 AND n_tokens >= 24 AND alpha_ratio >= 0.815
+    AND doc_id NOT IN (SELECT doc_id FROM cont)
+),
+off AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+  FROM surv)
+SELECT doc_id, n_tok::BIGINT AS n_tok, tok_offset::BIGINT AS tok_offset,
+       (tok_offset // 1024)::BIGINT AS first_example,
+       ((tok_offset + n_tok - 1) // 1024)::BIGINT AS last_example
+FROM off
+"""
+
+
+def q_clean_pack(sf_dir: str):
+    """Filter-then-pack composite (the export layout step of a cleaning
+    pipeline): quality + decontamination filter (stateless, order-preserving,
+    re-executed per pass — no materialize), then concat-and-chunk packing of
+    the SURVIVOR stream. Both packing passes root at the filtered read; the
+    offsets are exactly the clean corpus's global prefix sum."""
+    from scala_timeseries_lib_ray.pipelines.dataprep import (
+        _eval_union_ref,
+        quality_decon_filter,
+    )
+    from scala_timeseries_lib_ray.pipelines.packing import pack_sequences
+
+    docs = _docs_ds(sf_dir)
+    ref = _eval_union_ref(docs, 20)
+    surv = quality_decon_filter(
+        docs, ref, eval_max_id=20, min_tokens=24, min_alpha=0.815, min_overlap=8
+    )
+
+    def to_pack(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "n_chars": pa.compute.utf8_length(t.column("text")).cast(pa.int64()),
+            }
+        )
+
+    return pack_sequences(
+        surv.map_batches(to_pack, batch_format="pyarrow"), ctx=1024
+    )
+
+
 SQL_PART_BRAND_REVENUE = """
 WITH li AS (
   SELECT l_partkey,
@@ -2700,6 +2771,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "normalize_text": q_normalize_text,
         "corpus_export": q_corpus_export,
+        "clean_pack": q_clean_pack,
     }
 
 
@@ -2741,4 +2813,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "normalize_text": SQL_NORMALIZE_TEXT,
         "corpus_export": SQL_CORPUS_EXPORT,
+        "clean_pack": SQL_CLEAN_PACK,
     }
