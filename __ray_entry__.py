@@ -1337,6 +1337,54 @@ def _ev_sliding_meanstd(sf_dir: str, agg: str):
     return out.drop_columns(["validity"])
 
 
+def q_ev_sliding_distinct(sf_dir: str):
+    """Sliding count-distinct via the QueueAggregator UDF escape hatch
+    (reference Aggregator.queueAggregator, BasicAggregators.scala:127-136):
+    an arbitrary Python callable over each window's member slices, here
+    len(np.unique(values)) on the strict-sampled integer series — putting the
+    user-extension surface itself under the exact-oracle gate."""
+    from scala_timeseries_lib_ray.functions.sample import sample_series
+    from scala_timeseries_lib_ray.functions.window import sliding_window_events
+    from scala_timeseries_lib_ray.stages.seriesops import per_series_stage
+
+    rate, window = 600_000, 3_600_000
+
+    def distinct(vals, ds):
+        return float(len(np.unique(vals))) if len(vals) else None
+
+    def kernel(ts, v, d):
+        s_ts, s_v, s_d = sample_series(ts, v, d, int(ts[0]), rate, use_closest=False)
+        if len(s_ts) == 0:
+            return s_ts, s_v, s_d
+        w_ts, w_v, w_d = sliding_window_events(
+            s_ts, s_v, s_d, window, distinct, compress=False
+        )
+        i = np.searchsorted(w_ts, s_ts, side="right") - 1
+        return s_ts, w_v[i], np.full(len(s_ts), rate, dtype=np.int64)
+
+    out = per_series_stage(_ev_points_ds(sf_dir, "int"), kernel)
+    return out.drop_columns(["validity"])
+
+
+SQL_EV_SLIDING_DISTINCT = f"""
+WITH pts AS ({_sql_ev_points("int")}),
+dom AS (SELECT source, MIN(ts) AS t0, MAX(ts + validity) AS t1 FROM pts GROUP BY source),
+grid AS (SELECT source, unnest(generate_series(t0, t1 - 1, 600000)) AS p FROM dom),
+samp AS (
+  SELECT g.source, g.p,
+         (SELECT value FROM pts e
+          WHERE e.source = g.source AND e.ts <= g.p AND g.p < e.ts + e.validity) AS v
+  FROM grid g
+),
+s AS (SELECT * FROM samp WHERE v IS NOT NULL)
+SELECT a.source, a.p AS ts,
+       CAST((SELECT COUNT(DISTINCT b.v) FROM s b
+             WHERE b.source = a.source AND b.p <= a.p
+               AND a.p < b.p + 600000 + 3600000) AS DOUBLE) AS value
+FROM s a
+"""
+
+
 def q_ev_sliding_mean(sf_dir: str):
     return _ev_sliding_meanstd(sf_dir, "mean")
 
@@ -2772,6 +2820,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q_normalize_text,
         "corpus_export": q_corpus_export,
         "clean_pack": q_clean_pack,
+        "ev_sliding_distinct": q_ev_sliding_distinct,
     }
 
 
@@ -2814,4 +2863,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "normalize_text": SQL_NORMALIZE_TEXT,
         "corpus_export": SQL_CORPUS_EXPORT,
         "clean_pack": SQL_CLEAN_PACK,
+        "ev_sliding_distinct": SQL_EV_SLIDING_DISTINCT,
     }
