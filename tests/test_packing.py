@@ -90,3 +90,37 @@ def test_pack_invalid_ctx_raises(ray_session):
         pack_sequences(_sharded(t), ctx=0)
     with pytest.raises(ValueError):
         pack_examples(_sharded(t), ctx=-5)
+
+
+def test_pack_sequences_with_filtered_empty_blocks(ray_session):
+    """A block emptied by an upstream filter must not break the carry-in keying
+    (the clean_pack composite shape)."""
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.packing import pack_sequences
+
+    t = _docs_table(n=300, seed=11)
+    ds = ray.data.from_arrow([t.slice(i, 50) for i in range(0, t.num_rows, 50)])
+    # kill doc_ids 50..99 entirely -> the second block becomes empty
+    filt = ds.map_batches(
+        lambda b: b.filter(
+            pa.compute.or_(
+                pa.compute.less(b.column("doc_id"), 50),
+                pa.compute.greater_equal(b.column("doc_id"), 100),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    got = (
+        pack_sequences(filt, ctx=512)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    keep = t.filter(
+        pa.compute.or_(
+            pa.compute.less(t.column("doc_id"), 50),
+            pa.compute.greater_equal(t.column("doc_id"), 100),
+        )
+    )
+    pd.testing.assert_frame_equal(got, _ref_pack(keep, 512))

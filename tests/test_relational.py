@@ -89,3 +89,33 @@ def test_shuffle_join_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(
         _canon(got[sorted(got.columns)]), _canon(want[sorted(want.columns)]), check_dtype=False
     )
+
+
+def test_shuffle_join_multivalued_right_side(ray_session):
+    """Duplicate keys on the right side fan out (1:N join) — the case
+    broadcast_join rejects by contract."""
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.relational import shuffle_join
+
+    f = pa.table(
+        {"k": pa.array([0, 1, 2, 2], pa.int64()), "v": pa.array([1.0, 2.0, 3.0, 4.0])}
+    )
+    d = pa.table(
+        {
+            "dk": pa.array([2, 2, 0], pa.int64()),
+            "name": pa.array(["a", "b", "c"]),
+        }
+    )
+    got = shuffle_join(
+        ray.data.from_arrow(f), ray.data.from_arrow(d), on=("k",), right_on=("dk",),
+        num_partitions=2,
+    ).to_pandas()
+    want = f.to_pandas().merge(d.to_pandas(), left_on="k", right_on="dk")
+    if "dk" not in got.columns:
+        want = want.drop(columns=["dk"])
+    pd.testing.assert_frame_equal(
+        _canon(got[sorted(got.columns)]),
+        _canon(want[sorted(want.columns)]),
+        check_dtype=False,
+    )
