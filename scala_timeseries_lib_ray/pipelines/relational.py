@@ -65,6 +65,12 @@ def broadcast_join(
     if len(skeys) > 1 and (skeys[1:] == skeys[:-1]).any():
         raise ValueError(f"broadcast_join: duplicate keys in small side on {rk!r}")
     payload = small_tbl.drop_columns([rk]).take(pa.array(order))
+    clash = set(payload.column_names) & set(large.schema().names)
+    if clash:
+        raise ValueError(
+            f"broadcast_join: payload columns {sorted(clash)} collide with the "
+            f"large side — rename or prune via columns=[...]"
+        )
     ref = ray.put((skeys, payload))
 
     def probe(t: pa.Table) -> pa.Table:

@@ -119,3 +119,16 @@ def test_shuffle_join_multivalued_right_side(ray_session):
         _canon(want[sorted(want.columns)]),
         check_dtype=False,
     )
+
+
+def test_broadcast_join_rejects_column_collision(ray_session):
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.relational import broadcast_join
+
+    f = _fact(50)
+    d = pa.table(
+        {"dk": pa.array(np.arange(50, dtype=np.int64)), "v": pa.array(np.arange(50.0))}
+    )
+    with pytest.raises(ValueError, match="collide"):
+        broadcast_join(ray.data.from_arrow(f), ray.data.from_arrow(d), key="k", right_key="dk")
