@@ -7,9 +7,11 @@ diversity sampling, label propagation).
 
 Scale shape — block-nested loop with a broadcast corpus, zero shuffle:
 
-- The corpus is normalized once and staged into the object store as C
-  fixed-size chunks (one ``ray.put`` per chunk; the driver streams batches
-  through, never holding more than one chunk).
+- The corpus is normalized once by a staging ``map_batches`` pass whose
+  ``materialize()`` leaves the chunk blocks IN the object store; the driver
+  holds only the block refs (``to_arrow_refs``) — the data never transits the
+  driver, and each task maps every chunk as a ZERO-COPY numpy view
+  (FixedSizeList float64) over already-faulted plasma pages.
 - One streaming ``map_batches`` pass over the same dataset treats each batch
   as the query side: for each corpus chunk it runs a (batch x chunk) matmul
   and keeps a per-query running candidate set of k+1 rows per chunk; the
@@ -40,6 +42,19 @@ def _normalize(X: np.ndarray) -> np.ndarray:
     return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
 
 
+def _chunk_view(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (ids, normalized matrix) views over a staged plasma chunk
+    (FixedSizeList float64, no nulls — both buffers map straight in)."""
+    if tbl.num_rows == 0:
+        return np.empty(0, np.int64), np.empty((0, 1), np.float64)
+    col = tbl.column("xn")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    Xn = np.asarray(col.values.to_numpy(zero_copy_only=True)).reshape(tbl.num_rows, -1)
+    ids = np.asarray(tbl.column("vec_id").to_numpy(zero_copy_only=False))
+    return ids, Xn
+
+
 def knn_graph(
     embeddings: ray.data.Dataset, k: int = 5, chunk_rows: int = 16384
 ) -> ray.data.Dataset:
@@ -47,11 +62,28 @@ def knn_graph(
     rank 1..k ordered (similarity desc, neighbor_id asc), self excluded."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    refs = []
-    for t in embeddings.iter_batches(batch_size=chunk_rows, batch_format="pyarrow"):
+
+    def stage(t: pa.Table) -> pa.Table:
         ids, X = _emb_matrix(t)
-        refs.append(ray.put((ids, _normalize(X))))
-    if not refs:
+        Xn = _normalize(X)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "xn": pa.FixedSizeListArray.from_arrays(
+                    pa.array(Xn.ravel(), pa.float64()), X.shape[1]
+                ),
+            }
+        )
+
+    # normalize + chunk INSIDE the object store: materialize() leaves the staged
+    # blocks in plasma and to_arrow_refs() hands out refs — the corpus never
+    # transits the driver, and every task later maps each chunk as a ZERO-COPY
+    # numpy view (FixedSizeList float64, no nulls) over already-faulted pages.
+    staged = embeddings.map_batches(
+        stage, batch_format="pyarrow", batch_size=chunk_rows
+    ).materialize()
+    refs = staged.to_arrow_refs()
+    if staged.count() == 0:
         return ray.data.from_arrow(
             pa.table(
                 {
@@ -87,7 +119,9 @@ def knn_graph(
             rows = np.arange(nq)
             cand_ids, cand_sc = [], []
             for r in refs:
-                ids, Xn = ray.get(r)
+                ids, Xn = _chunk_view(ray.get(r))
+                if len(ids) == 0:
+                    continue
                 S = self._scores(Qn, Xn)  # (nq, chunk), reused buffer
                 kk = min(k + 1, S.shape[1])  # +1 so self-exclusion never costs a hit
                 # top-kk per row by kk argmax sweeps: reads of faulted pages
@@ -102,6 +136,14 @@ def knn_graph(
                     S[rows, col] = -np.inf
                 cand_ids.append(ci)
                 cand_sc.append(cs)
+            if not cand_ids:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "neighbor_id": pa.array([], pa.int64()),
+                        "rank": pa.array([], pa.int64()),
+                    }
+                )
             CI = np.concatenate(cand_ids, axis=1)  # (nq, <= (k+1)*C)
             CS = np.concatenate(cand_sc, axis=1)
             nc = CI.shape[1]
