@@ -94,3 +94,20 @@ def test_export_manifest_counts_match_files(ray_session, tmp_path):
             for f in on_disk["files"]
         )
         assert got == m["rows"]
+
+
+def test_export_clears_stale_staging(ray_session, tmp_path):
+    """A _staging dir left by a killed run must be discarded, not absorbed."""
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.export import export_corpus, read_export
+
+    out = str(tmp_path / "exp3")
+    os.makedirs(os.path.join(out, "_staging", "bucket=0"))
+    with open(os.path.join(out, "_staging", "bucket=0", "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    ds = ray.data.from_arrow(_docs(80))
+    ms = export_corpus(ds, out, n_buckets=4)
+    assert sum(m["rows"] for m in ms.values()) == 80
+    assert not os.path.exists(os.path.join(out, "_staging"))
+    assert len(read_export(out).to_pandas()) == 80
