@@ -2446,6 +2446,30 @@ def q_clean_pack(sf_dir: str):
     )
 
 
+SQL_DOC_TOP_TERMS = """
+WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+           FROM documents),
+tf AS (SELECT doc_id, word, COUNT(*)::BIGINT AS tf FROM w GROUP BY 1, 2),
+df AS (SELECT word, COUNT(*)::BIGINT AS df
+       FROM (SELECT DISTINCT doc_id, word FROM w) GROUP BY 1),
+r AS (SELECT tf.doc_id, tf.word AS term, tf.tf, df.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df, tf.word) AS term_rank
+      FROM tf JOIN df USING (word))
+SELECT doc_id, term, tf, df, term_rank FROM r WHERE term_rank <= 3
+"""
+
+
+def q_doc_top_terms(sf_dir: str):
+    """Per-doc top-3 distinctive terms (tf desc, df asc — integer-exact tf-idf
+    ordering): vocabulary-bounded df table built by the map-only tree combine
+    and broadcast once; scoring is a stateless pass with Arrow index_in df
+    lookup. No doc-keyed shuffle."""
+    from scala_timeseries_lib_ray.pipelines.corpus import doc_top_terms
+
+    return doc_top_terms(_docs_ds(sf_dir), k=3)
+
+
 SQL_PART_BRAND_REVENUE = """
 WITH li AS (
   SELECT l_partkey,
@@ -2824,6 +2848,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "corpus_export": q_corpus_export,
         "clean_pack": q_clean_pack,
         "ev_sliding_distinct": q_ev_sliding_distinct,
+        "doc_top_terms": q_doc_top_terms,
     }
 
 
@@ -2866,4 +2891,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "corpus_export": SQL_CORPUS_EXPORT,
         "clean_pack": SQL_CLEAN_PACK,
         "ev_sliding_distinct": SQL_EV_SLIDING_DISTINCT,
+        "doc_top_terms": SQL_DOC_TOP_TERMS,
     }

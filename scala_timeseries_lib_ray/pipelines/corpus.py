@@ -1085,3 +1085,116 @@ def normalize_text(
         )
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def doc_top_terms(
+    docs: ray.data.Dataset, k: int = 3, fanin: tuple[int, ...] = (32,)
+) -> ray.data.Dataset:
+    """Per-document top-k distinctive terms — rank words by (tf desc, df asc,
+    term asc): high in-doc frequency, low corpus document-frequency. The
+    per-doc keyword-extraction complement of :func:`salient_terms` (which is
+    per-source) and the integer-exact stand-in for tf-idf ordering (log is
+    monotone in df, so the (tf, df) lexicographic rank needs no floats).
+
+    Scale shape: document frequencies are a tokenizer-vocabulary-bounded
+    table — built with the same map-only tree combine as :func:`token_topk`
+    (per-batch per-doc-DISTINCT word counts, vocabulary-sized exchanges) and
+    broadcast once via ``ray.put``; the scoring pass is then stateless, with
+    df lookup through Arrow's C++ ``index_in`` against the broadcast vocab.
+    No doc-keyed shuffle anywhere.
+
+    Output: (doc_id, term, tf, df, term_rank) with rank 1..k."""
+    import ray as _ray
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    _EMPTY_DF = pa.table(
+        {"word": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+    )
+
+    def _doc_word_pairs(t: pa.Table):
+        """(doc_ids, distinct (doc,word) rows as (gdoc, sorted-unique word
+        strings, per-pair tf)) — one lexsort segment count per batch."""
+        ids, W, docpos, _ = _word_codes_batch(t)
+        if len(W) == 0:
+            return ids, None, None, None
+        words = np.asarray(W.to_numpy(zero_copy_only=False))
+        uniq, codes = np.unique(words, return_inverse=True)  # codes in STRING order
+        order = np.lexsort((codes, docpos))
+        d_s, c_s = docpos[order], codes[order]
+        new = np.r_[True, (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        gid = np.cumsum(new) - 1
+        tf = np.bincount(gid).astype(np.int64)
+        return ids, uniq, (d_s[new], c_s[new]), tf
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        ids, uniq, pairs, _tf = _doc_word_pairs(t)
+        if uniq is None:
+            return _EMPTY_DF
+        _, pc_codes = pairs
+        cnt = np.bincount(pc_codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"word": pa.array(uniq), "cnt": pa.array(cnt)})
+
+    counts = docs.map_batches(df_partial, batch_format="pyarrow")
+    for f in fanin:
+        counts = counts.repartition(f).map_batches(
+            _combine_counts, batch_size=None, batch_format="pyarrow"
+        )
+    final_df = counts.repartition(1).map_batches(
+        _combine_counts, batch_size=None, batch_format="pyarrow"
+    )
+    vocab_parts, df_parts = [], []
+    for tb in final_df.iter_batches(batch_size=None, batch_format="pyarrow"):
+        vocab_parts.append(tb.column("word").combine_chunks())
+        df_parts.append(
+            np.asarray(tb.column("cnt").to_numpy(zero_copy_only=False), np.int64)
+        )
+    if vocab_parts:
+        vocab = pa.concat_arrays(vocab_parts)
+        dfv = np.concatenate(df_parts)
+    else:
+        vocab = pa.array([], pa.string())
+        dfv = np.empty(0, np.int64)
+    ref = _ray.put((vocab, dfv))
+
+    _EMPTY_OUT = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+            "term_rank": pa.array([], pa.int64()),
+        }
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        voc, dfl = _ray.get(ref)
+        ids, uniq, pairs, tf = _doc_word_pairs(t)
+        if uniq is None or len(voc) == 0:
+            return _EMPTY_OUT
+        p_doc, p_code = pairs
+        terms = pa.array(uniq).take(pa.array(p_code))
+        pos = np.asarray(
+            pc.index_in(terms, value_set=voc).to_numpy(zero_copy_only=False)
+        )
+        dfr = dfl[pos]  # every term is in the vocab by construction
+        # rank per doc by (tf desc, df asc, term asc); p_code IS string order
+        order = np.lexsort((p_code, dfr, -tf, p_doc))
+        d_o = p_doc[order]
+        new = np.r_[True, d_o[1:] != d_o[:-1]]
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(d_o), dtype=np.int64) - starts[np.cumsum(new) - 1] + 1
+        m = rank <= k
+        sel = order[m]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[p_doc[sel]], pa.int64()),
+                "term": terms.take(pa.array(sel)),
+                "tf": pa.array(tf[sel]),
+                "df": pa.array(dfr[sel]),
+                "term_rank": pa.array(rank[m]),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

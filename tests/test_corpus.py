@@ -382,3 +382,47 @@ def test_salient_terms_duckdb_parity_fuzz(ray_session):
         """
     ).df()
     assert out.equals(ora)
+
+
+def test_doc_top_terms_matches_bruteforce(ray_session):
+    import re
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.corpus import doc_top_terms
+
+    texts = [
+        "apple apple banana cherry",          # tf tie banana/cherry -> df breaks
+        "banana banana cherry date date date",
+        "cherry eagle eagle",
+        "",                                   # empty -> no rows
+        "apple banana cherry date eagle fig", # all tf=1 -> df then term order
+    ]
+    t = pa.table({"doc_id": pa.array(np.arange(5, dtype=np.int64)), "text": pa.array(texts)})
+    ds = ray.data.from_arrow([t.slice(i, 2) for i in range(0, 5, 2)])
+    got = (
+        doc_top_terms(ds, k=3)
+        .to_pandas()
+        .sort_values(["doc_id", "term_rank"])
+        .reset_index(drop=True)
+    )
+    # brute force
+    docs = {i: re.findall(r"[a-z0-9]+", s.lower()) for i, s in enumerate(texts)}
+    df: dict[str, int] = {}
+    for ws in docs.values():
+        for w in set(ws):
+            df[w] = df.get(w, 0) + 1
+    rows = []
+    for i, ws in docs.items():
+        tf: dict[str, int] = {}
+        for w in ws:
+            tf[w] = tf.get(w, 0) + 1
+        ranked = sorted(tf.items(), key=lambda kv: (-kv[1], df[kv[0]], kv[0]))[:3]
+        for r, (w, c) in enumerate(ranked, 1):
+            rows.append((i, w, c, df[w], r))
+    want = pd.DataFrame(rows, columns=["doc_id", "term", "tf", "df", "term_rank"])
+    pd.testing.assert_frame_equal(got, want)
+    with pytest.raises(ValueError):
+        doc_top_terms(ds, k=0)
