@@ -2356,22 +2356,30 @@ def q_corpus_export(sf_dir: str):
     buckets (+ per-bucket manifests) to a fresh dir, then return each bucket's
     MANIFEST row count — gating both the partitioned write path and the
     manifest bookkeeping against the closed-form bucket assignment."""
-    import tempfile
+    import hashlib
+    import shutil
 
     import ray.data
 
     from scala_timeseries_lib_ray.pipelines.export import export_corpus
 
-    out = tempfile.mkdtemp(prefix="corpus_export_", dir="/tmp")
-    ms = export_corpus(
-        _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars")), out, n_buckets=16
-    )
-    t = pa.table(
-        {
-            "bucket": pa.array(sorted(ms), pa.int64()),
-            "rows": pa.array([ms[b]["rows"] for b in sorted(ms)], pa.int64()),
-        }
-    )
+    # fixed per-sf_dir path, cleared up-front and removed after the result is
+    # built — repeated bench/correctness runs must not leak corpus copies to /tmp
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/corpus_export_q_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    try:
+        ms = export_corpus(
+            _docs_ds(sf_dir, columns=("doc_id", "source", "n_chars")), out, n_buckets=16
+        )
+        t = pa.table(
+            {
+                "bucket": pa.array(sorted(ms), pa.int64()),
+                "rows": pa.array([ms[b]["rows"] for b in sorted(ms)], pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
     return ray.data.from_arrow(t)
 
 
@@ -2514,7 +2522,16 @@ def _revenue_partial(brand_col: str):
             {brand_col: t.column(brand_col), "revenue_c4": pa.array(rev), "n_items": pa.array(np.ones(len(rev), np.int64))}
         )
         out = g.group_by([brand_col]).aggregate([("revenue_c4", "sum"), ("n_items", "sum")])
-        return out.rename_columns([brand_col, "revenue_c4", "n_items"])
+        # columns picked BY NAME: pyarrow's key-vs-aggregate output order has
+        # differed across versions, so a positional rename could silently swap
+        # the key into the revenue column on a version bump
+        return pa.table(
+            {
+                brand_col: out.column(brand_col),
+                "revenue_c4": out.column("revenue_c4_sum"),
+                "n_items": out.column("n_items_sum"),
+            }
+        )
 
     return partial
 

@@ -1545,17 +1545,30 @@ def embedding_centroids(embeddings: ray.data.Dataset, round_to: int = 4) -> ray.
         )
 
     def combine(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = t.to_pandas().groupby(["label", "pos"], as_index=False).agg(s=("s", "sum"), n=("n", "sum"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # Arrow-native hash aggregate (columns picked BY NAME — the
+        # key-vs-aggregate output order has differed across pyarrow versions)
+        g = t.group_by(["label", "pos"]).aggregate([("s", "sum"), ("n", "sum")])
+        return pa.table(
+            {
+                "label": g.column("label"),
+                "pos": g.column("pos"),
+                "s": g.column("s_sum"),
+                "n": g.column("n_sum"),
+            }
+        )
 
     def final(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        c = df["s"] / df["n"]
-        df["centroid"] = np.sign(c) * np.floor(np.abs(c) * 10**round_to + 0.5) / 10**round_to
-        return pa.Table.from_pandas(
-            df[["label", "pos", "centroid", "n"]], preserve_index=False
+        s = np.asarray(t.column("s").to_numpy(zero_copy_only=False), np.float64)
+        nn = np.asarray(t.column("n").to_numpy(zero_copy_only=False), np.float64)
+        c = s / nn
+        cent = np.sign(c) * np.floor(np.abs(c) * 10**round_to + 0.5) / 10**round_to
+        return pa.table(
+            {
+                "label": t.column("label"),
+                "pos": t.column("pos"),
+                "centroid": pa.array(cent, pa.float64()),
+                "n": t.column("n"),
+            }
         )
 
     partials = embeddings.map_batches(partial, batch_format="pyarrow")

@@ -116,6 +116,26 @@ def export_corpus(
             shutil.rmtree(dst)
         os.rename(src, dst)  # atomic completion
         manifests[b] = manifest
+    for b in range(n_buckets):
+        if b in manifests:
+            continue
+        # a bucket that received ZERO rows still gets a durable completion
+        # record — otherwise finished_buckets() can never reach n_buckets and
+        # every re-run of a complete export re-streams the entire corpus
+        manifest = {
+            "bucket": b,
+            "rows": 0,
+            "files": [],
+            "n_buckets": n_buckets,
+            "id_col": id_col,
+            "written_at": time.time(),
+            "skipped": False,
+        }
+        dst = _bucket_dir(out_dir, b)
+        os.makedirs(dst, exist_ok=True)
+        with open(os.path.join(dst, MANIFEST), "w") as f:
+            json.dump(manifest, f, indent=1)
+        manifests[b] = manifest
     shutil.rmtree(staging, ignore_errors=True)
     return manifests
 
@@ -134,9 +154,12 @@ def read_export(out_dir: str, buckets: list[int] | None = None) -> ray.data.Data
     files = [
         os.path.join(d, f)
         for d in dirs
+        if os.path.isdir(d)  # empty buckets have a manifest but no data files
         for f in sorted(os.listdir(d))
         if f.endswith(".parquet")
     ]
+    if not files:
+        return ray.data.from_items([])
 
     def fix_bucket(t: pa.Table) -> pa.Table:
         # hive path inference yields the partition value as a string

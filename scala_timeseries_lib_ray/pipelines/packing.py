@@ -62,22 +62,59 @@ def _block_token_offsets(docs: ray.data.Dataset) -> tuple[object, int]:
     def partial(t: pa.Table) -> pa.Table:
         did, n_tok = _ntok_from_docs(t)
         if len(did) == 0:
-            return pa.table({"block_min": pa.array([], pa.int64()),
-                             "s": pa.array([], pa.int64())})
+            empty = pa.array([], pa.int64())
+            return pa.table({"block_min": empty, "block_max": empty,
+                             "n_docs": empty, "s": empty})
         return pa.table(
             {
                 "block_min": pa.array([int(did.min())], pa.int64()),
+                "block_max": pa.array([int(did.max())], pa.int64()),
+                "n_docs": pa.array([len(did)], pa.int64()),
                 "s": pa.array([int(n_tok.sum())], pa.int64()),
             }
         )
 
     tiny = docs.map_batches(partial, batch_size=None, batch_format="pyarrow").take_all()
-    carry: dict[int, int] = {}
+    # carry-in keyed by the full block fingerprint (min, max, n_docs): a scan
+    # block whose doc_id range merely SHARES a recorded min (re-blocked or
+    # reordered ranges) must fail the lookup, not silently mis-pack (ADVICE r03)
+    carry: dict[int, tuple[int, int, int]] = {}
     acc = 0
+    prev_max = None
     for row in sorted(tiny, key=lambda r: r["block_min"]):
-        carry[row["block_min"]] = acc
+        if row["block_min"] in carry or (
+            prev_max is not None and row["block_min"] <= prev_max
+        ):
+            raise ValueError(
+                "pack pre-pass: overlapping doc_id ranges between blocks — the "
+                "documents catalog is not globally doc_id-sorted"
+            )
+        carry[row["block_min"]] = (acc, row["block_max"], row["n_docs"])
+        prev_max = row["block_max"]
         acc += row["s"]
     return ray.put(carry), acc
+
+
+def _carry_base(carry: dict, did: np.ndarray, op: str) -> int:
+    """Look up a scan block's carry-in, asserting the block matches the
+    pre-pass fingerprint (min, max, n_docs) exactly."""
+    bmin = int(did.min())
+    try:
+        base, bmax, nd = carry[bmin]
+    except KeyError:
+        # Count and scan passes saw different blocking — a silent 0 would
+        # mis-pack every document in the block.
+        raise KeyError(
+            f"{op}: no pre-pass carry-in for block_min={bmin}; "
+            f"count/scan blocking mismatch"
+        ) from None
+    if int(did.max()) != bmax or len(did) != nd:
+        raise ValueError(
+            f"{op}: scan block (min={bmin}, max={int(did.max())}, "
+            f"n_docs={len(did)}) does not match the pre-pass block "
+            f"(max={bmax}, n_docs={nd}); count/scan blocking mismatch"
+        )
+    return base
 
 
 def pack_sequences(docs: ray.data.Dataset, ctx: int = 1024) -> ray.data.Dataset:
@@ -102,16 +139,7 @@ def pack_sequences(docs: ray.data.Dataset, ctx: int = 1024) -> ray.data.Dataset:
                 {"doc_id": empty, "n_tok": empty, "tok_offset": empty,
                  "first_example": empty, "last_example": empty}
             )
-        bmin = int(did.min())
-        try:
-            base = carry[bmin]
-        except KeyError:
-            # Count and scan passes saw different blocking — a silent 0 would
-            # mis-pack every document in the block.
-            raise KeyError(
-                f"pack_sequences: no pre-pass carry-in for block_min={bmin}; "
-                f"count/scan blocking mismatch"
-            ) from None
+        base = _carry_base(carry, did, "pack_sequences")
         order = np.argsort(did, kind="stable")
         s_did, s_tok = did[order], n_tok[order]
         off = base + np.concatenate([[0], np.cumsum(s_tok[:-1])])
@@ -149,14 +177,7 @@ def pack_examples(docs: ray.data.Dataset, ctx: int = 1024) -> ray.data.Dataset:
         if n == 0:
             empty = pa.array([], pa.int64())
             return pa.table({"example_id": empty, "n_docs": empty})
-        bmin = int(did.min())
-        try:
-            base = carry[bmin]
-        except KeyError:
-            raise KeyError(
-                f"pack_examples: no pre-pass carry-in for block_min={bmin}; "
-                f"count/scan blocking mismatch"
-            ) from None
+        base = _carry_base(carry, did, "pack_examples")
         order = np.argsort(did, kind="stable")
         s_tok = n_tok[order]
         off = base + np.concatenate([[0], np.cumsum(s_tok[:-1])])

@@ -29,17 +29,25 @@ from ..functions.stats import UniformReservoir
 MANIFEST = "MANIFEST.json"
 
 
-def _checksum(df) -> str:
-    """Order-insensitive content checksum: sum of row-wise md5-derived uint64s."""
-    import hashlib
+def _checksum(t: pa.Table) -> str:
+    """Order-insensitive content checksum: sum of row-wise md5-derived uint64s.
+    Vectorized — columns cast to string, rows joined with a \\x1f separator,
+    one md5 sweep (no Python row loop)."""
+    import pyarrow.compute as pc
 
-    total = 0
-    cols = sorted(df.columns)
-    # row-wise stable string encoding
-    for row in df[cols].itertuples(index=False):
-        h = hashlib.md5(repr(tuple(row)).encode()).digest()[:8]
-        total = (total + int.from_bytes(h, "big")) % (1 << 64)
-    return f"{total:016x}"
+    from ..pipelines.dataprep import md5_u64_strings
+
+    cols = sorted(t.column_names)
+    if not cols or not len(t):
+        return f"{0:016x}"
+    enc = [
+        pc.fill_null(pc.cast(t.column(c), pa.string()), "\x00null") for c in cols
+    ]
+    rows = enc[0] if len(enc) == 1 else pc.binary_join_element_wise(*enc, "\x1f")
+    if isinstance(rows, pa.ChunkedArray):
+        rows = rows.combine_chunks()
+    h = md5_u64_strings(rows)
+    return f"{int(h.sum(dtype=np.uint64)):016x}"
 
 
 def write_unit(
@@ -73,22 +81,34 @@ def write_unit(
     )
     tables = [pq.read_table(f) for f in files]
     t = pa.concat_tables(tables) if tables else None
+    import pyarrow.compute as pc
+
     res = UniformReservoir(seed=42)
     per_source: dict[str, int] = {}
     rows = 0
     bmin = bmax = None
-    df = None
     if t is not None and len(t):
-        df = t.to_pandas()
-        rows = len(df)
-        if "source" in df.columns:
-            per_source = df.groupby("source").size().to_dict()
+        rows = len(t)
+        names = t.column_names
+        if "source" in names:
+            vc = pc.value_counts(t.column("source").combine_chunks())
+            per_source = dict(
+                sorted(
+                    (v.as_py(), int(c.as_py()))
+                    for v, c in zip(vc.field("values"), vc.field("counts"))
+                )
+            )
         for c in ("bucket_ts", "ts"):
-            if c in df.columns:
-                bmin, bmax = int(df[c].min()), int(df[c].max())
+            if c in names:
+                mm = pc.min_max(t.column(c))
+                bmin, bmax = int(mm["min"].as_py()), int(mm["max"].as_py())
                 break
-        if value_col in df.columns:
-            res.update_many(df[value_col].to_numpy(dtype=np.float64))
+        if value_col in names:
+            res.update_many(
+                np.asarray(
+                    t.column(value_col).to_numpy(zero_copy_only=False), np.float64
+                )
+            )
     manifest = {
         "name": name,
         "rows": rows,
@@ -96,7 +116,7 @@ def write_unit(
         "per_source_rows": per_source,
         "min_ts": bmin,
         "max_ts": bmax,
-        "value_checksum": _checksum(df) if df is not None else None,
+        "value_checksum": _checksum(t) if t is not None and len(t) else None,
         "stats": res.snapshot().as_dict(),
         "lineage": lineage or [],
         "written_at": time.time(),
