@@ -1582,6 +1582,8 @@ def embedding_centroids(embeddings: ray.data.Dataset, round_to: int = 4) -> ray.
 # ----------------------------------------------------- embeddings: near-dup (cosine)
 
 EMB_BANDS = 32
+# per-worker-process cache of zero-copy candidate-vector views (bounded)
+_EMB_VIEW_CACHE: dict[tuple, list] = {}
 EMB_BITS = 8
 
 
@@ -1663,45 +1665,84 @@ def embedding_near_dup_lsh(
     )
     ref = ray.put(ids_needed)
 
+    _dim = max(dim, 1)
+
     def extract(t: pa.Table) -> pa.Table:
         needed = ray.get(ref)
         ids = np.asarray(t.column("vec_id").to_numpy(zero_copy_only=False))
         m = np.isin(ids, needed)
         if not m.any():
             return pa.table(
-                {"vec_id": pa.array([], pa.int64()), "embedding": pa.array([], pa.list_(pa.float64()))}
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "xn": pa.FixedSizeListArray.from_arrays(
+                        pa.array([], pa.float64()), _dim
+                    ),
+                }
             )
         sub = t.filter(pa.array(m))
         sids, X = _emb_matrix(sub)
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        order = np.argsort(sids)  # block-sorted for the verify searchsorted
         return pa.table(
             {
-                "vec_id": pa.array(sids, pa.int64()),
-                "embedding": pa.array([r for r in Xn], pa.list_(pa.float64())),
+                "vec_id": pa.array(sids[order], pa.int64()),
+                "xn": pa.FixedSizeListArray.from_arrays(
+                    pa.array(Xn[order].ravel(), pa.float64()), X.shape[1]
+                ),
             }
         )
 
-    rows = embeddings.map_batches(extract, batch_format="pyarrow").take_all()  # candidate-sized
-    vids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    V = (
-        np.array([r["embedding"] for r in rows], dtype=np.float64)
-        if rows
-        else np.zeros((0, dim))
-    )
-    srt = np.argsort(vids)
-    vref = ray.put((vids[srt], V[srt]))
+    # candidate vectors stay IN PLASMA: materialize() + to_arrow_refs() (the
+    # knn_graph pattern) — the driver holds block refs only, and each verify
+    # task maps the blocks as zero-copy numpy views. Previously the candidate
+    # rows were take_all()'d to the driver as Python dicts (~16 GB of float64
+    # pylist rows at 2M candidates x dim 1024 — VERDICT r03 #3).
+    staged = embeddings.map_batches(extract, batch_format="pyarrow").materialize()
+    vrefs = tuple(staged.to_arrow_refs())
+
+    def _emb_views() -> list:
+        # per-process cached zero-copy (sorted ids, matrix) views per block
+        key = ("emblsh", tuple(r.hex() for r in vrefs))
+        hit = _EMB_VIEW_CACHE.get(key)
+        if hit is not None:
+            return hit
+        views = []
+        for tb in ray.get(list(vrefs)):
+            if not tb.num_rows:
+                continue
+            sid = np.asarray(tb.column("vec_id").to_numpy(zero_copy_only=False), np.int64)
+            arr = tb.column("xn").combine_chunks()
+            M = np.asarray(arr.values.to_numpy(zero_copy_only=False)).reshape(
+                len(sid), -1
+            )
+            views.append((sid, M))
+        while len(_EMB_VIEW_CACHE) >= 4:
+            _EMB_VIEW_CACHE.pop(next(iter(_EMB_VIEW_CACHE)))
+        _EMB_VIEW_CACHE[key] = views
+        return views
+
+    def _gather(views: list, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        out = np.zeros((len(ids), _dim), np.float64)
+        found = np.zeros(len(ids), dtype=bool)
+        for sid, M in views:
+            pos = np.searchsorted(sid, ids).clip(0, len(sid) - 1)
+            hit = sid[pos] == ids
+            if hit.any():
+                out[hit] = M[pos[hit]]
+                found |= hit
+        return out, found
 
     def verify(t: pa.Table) -> pa.Table:
-        sids, VM = ray.get(vref)
         a = np.asarray(t.column("doc_a").to_numpy(zero_copy_only=False))
         b = np.asarray(t.column("doc_b").to_numpy(zero_copy_only=False))
-        if len(a) == 0 or len(sids) == 0:
+        views = _emb_views() if len(a) else []
+        if len(a) == 0 or not views:
             return pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())})
-        ia = np.searchsorted(sids, a).clip(0, len(sids) - 1)
-        ib = np.searchsorted(sids, b).clip(0, len(sids) - 1)
-        present = (sids[ia] == a) & (sids[ib] == b)
-        cos = (VM[ia] * VM[ib]).sum(axis=1)  # rows are pre-normalized
-        m = present & (cos >= threshold)
+        va, fa = _gather(views, a)
+        vb, fb = _gather(views, b)
+        cos = (va * vb).sum(axis=1)  # rows are pre-normalized
+        m = fa & fb & (cos >= threshold)
         order = np.lexsort((b[m], a[m]))
         return pa.table(
             {

@@ -239,6 +239,68 @@ def test_embedding_lsh_matches_bruteforce(ray_session):
         assert (i, 100 + i) in lset
 
 
+def test_embedding_lsh_no_driver_transit(ray_session, monkeypatch):
+    """Candidate vectors must stay in plasma (VERDICT r03 #3): building AND
+    executing embedding_near_dup_lsh may not pull rows to the driver via
+    take_all / iter_batches / to_pandas — only the single-row dim probe's
+    limit(1).take_all() is allowed."""
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.dataprep import embedding_near_dup_lsh
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(80, 16))
+    X[70] = X[0] + 1e-4
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(80), pa.int64()),
+            "embedding": pa.array([r for r in X.astype(np.float32)], pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(80, dtype=np.int32)),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    orig_iter_rows = ray.data.Dataset.iter_rows
+
+    def guarded_iter_rows(self, *a, **k):
+        # the dim probe takes exactly one row (take_all delegates here);
+        # anything larger is a driver-side gather
+        def gen():
+            for i, row in enumerate(orig_iter_rows(self, *a, **k)):
+                assert i < 1, "driver-side iter_rows yielded >1 row"
+                yield row
+
+        return gen()
+
+    orig_iter_batches = ray.data.Dataset.iter_batches
+
+    def guarded_iter_batches(self, *a, **k):
+        # the bounded candidate-PAIR id pull (doc_a/doc_b ints, max_candidates
+        # rows) is by design; vector payloads must never transit the driver
+        def gen():
+            for b in orig_iter_batches(self, *a, **k):
+                cols = set(getattr(b, "column_names", getattr(b, "columns", [])))
+                assert not cols & {"embedding", "xn"}, (
+                    f"driver-side iter_batches pulled vector payload columns {cols}"
+                )
+                yield b
+
+        return gen()
+
+    def forbidden(name):
+        def f(self, *a, **k):
+            raise AssertionError(f"driver-side Dataset.{name} called in lsh path")
+
+        return f
+
+    with monkeypatch.context() as m:
+        m.setattr(ray.data.Dataset, "iter_rows", guarded_iter_rows)
+        m.setattr(ray.data.Dataset, "iter_batches", guarded_iter_batches)
+        m.setattr(ray.data.Dataset, "to_pandas", forbidden("to_pandas"))
+        out = embedding_near_dup_lsh(ds, threshold=0.98).materialize()
+    pairs = set(zip(*[out.to_pandas()[c] for c in ("vec_a", "vec_b")]))
+    assert (0, 70) in pairs
+
+
 def test_simhash_segment_guarantee(docs_ds):
     # n_segments derives from max_hamming: pairs at distance <= max_hamming are
     # guaranteed candidates (ADVICE r01: the old fixed-4-segment default broke
