@@ -934,6 +934,71 @@ def q_ev_sliding_max_halo(sf_dir: str):
     return refit_canonical(out)
 
 
+def q_ev_sliding_mean_halo(sf_dir: str):
+    """Sampled time-aware sliding mean THROUGH the chunk+halo scale path
+    (VERDICT r03 #5): strict sample(rate) -> sliding_window_halo(mean) ->
+    canonical refit. Pins the sample->halo-sweep composition end-to-end
+    (reference semantics TimeSeries.scala:420-436 sample-first aggregates +
+    window/WindowSlider.scala:71-90 sweep); the whole-series form is gated by
+    ev_sliding_std / ev_sliding_mean."""
+    from scala_timeseries_lib_ray.stages.canonical import refit_canonical
+    from scala_timeseries_lib_ray.stages.seriesops import sample_stage
+    from scala_timeseries_lib_ray.stages.windowstage import sliding_window_halo
+
+    sampled = sample_stage(_ev_points_ds(sf_dir, "int"), rate=600_000, use_closest=False)
+    out = sliding_window_halo(
+        sampled, width=3_600_000, agg="mean",
+        chunk_width=86_400_000, max_validity=600_000,
+    )
+    return refit_canonical(out)
+
+
+def _sql_ev_sampled_sliding_mean(rate: int = 600_000, width: int = 3_600_000) -> str:
+    # interval-form oracle for the sampled sliding mean: strict sample onto the
+    # per-series rate grid (validity = rate), then the event-boundary segment
+    # construction of _sql_ev_sliding_minmax with AVG over window members
+    # (int-valued floats -> sums exact -> the division is correctly rounded on
+    # both engines). Islands = the engine's canonical refit.
+    return f"""
+WITH pts AS ({_sql_ev_points("int")}),
+dom AS (SELECT source, MIN(ts) AS t0, MAX(ts + validity) AS t1 FROM pts GROUP BY source),
+grid AS (SELECT source, unnest(generate_series(t0, t1 - 1, {rate})) AS p FROM dom),
+samp0 AS (
+  SELECT g.source, g.p,
+         (SELECT value FROM pts e
+          WHERE e.source = g.source AND e.ts <= g.p AND g.p < e.ts + e.validity) AS v
+  FROM grid g),
+samp AS (SELECT * FROM samp0 WHERE v IS NOT NULL),
+sdom AS (SELECT source, MIN(p) AS s0, MAX(p) + {rate} AS s1 FROM samp GROUP BY source),
+ev0 AS (
+  SELECT source, p AS t FROM samp
+  UNION SELECT source, p + {rate} + {width} FROM samp
+  UNION SELECT source, s1 FROM sdom
+),
+ev AS (
+  SELECT e.source, e.t FROM ev0 e JOIN sdom d ON d.source = e.source
+  WHERE e.t >= d.s0 AND e.t <= d.s1
+),
+seg0 AS (SELECT source, t AS ts, LEAD(t) OVER (PARTITION BY source ORDER BY t) AS t_end FROM ev),
+seg AS (
+  SELECT s.source, s.ts, s.t_end,
+         (SELECT AVG(e.v) FROM samp e
+          WHERE e.source = s.source AND e.p <= s.ts AND s.ts < e.p + {rate} + {width}) AS value
+  FROM seg0 s WHERE s.t_end IS NOT NULL
+),
+m AS (SELECT * FROM seg WHERE value IS NOT NULL),
+c AS (
+  SELECT source, ts, t_end, value,
+         CASE WHEN value = LAG(value) OVER w AND ts = LAG(t_end) OVER w
+              THEN 0 ELSE 1 END AS brk
+  FROM m WINDOW w AS (PARTITION BY source ORDER BY ts)
+),
+i AS (SELECT *, SUM(brk) OVER (PARTITION BY source ORDER BY ts) AS island FROM c)
+SELECT source, MIN(ts) AS ts, ANY_VALUE(value) AS value, MAX(t_end) - MIN(ts) AS validity
+FROM i GROUP BY source, island
+"""
+
+
 def q_embedding_centroids(sf_dir: str):
     from scala_timeseries_lib_ray.pipelines.dataprep import embedding_centroids
 
@@ -2874,6 +2939,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "doc_heads": q_doc_heads,
         "doc_map_entries": q_doc_map_entries,
+        "ev_sliding_mean_halo": q_ev_sliding_mean_halo,
     }
 
 
@@ -2917,4 +2983,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "gorilla_roundtrip": SQL_DOC_POINTS,
         "doc_heads": SQL_DOC_HEADS,
         "doc_map_entries": SQL_DOC_MAP_ENTRIES,
+        "ev_sliding_mean_halo": _sql_ev_sampled_sliding_mean(),
     }

@@ -71,3 +71,30 @@ def test_halo_window_wider_than_chunk(gappy_points):
         ).to_pandas()
     )
     pd.testing.assert_frame_equal(whole, halo)
+
+
+@pytest.mark.parametrize("width", [60_000, 900_000])
+def test_sampled_mean_halo_equals_whole_series(gappy_points, width):
+    """The sampled time-aware composition (strict sample -> sliding mean)
+    through the halo path, incl. window WIDER than the chunk — the end-to-end
+    shape gated by the ev_sliding_mean_halo oracle query (VERDICT r03 #5)."""
+    from scala_timeseries_lib_ray.functions.sample import sample_series
+    from scala_timeseries_lib_ray.functions.window import sliding_window_events
+    from scala_timeseries_lib_ray.stages.seriesops import per_series_stage, sample_stage
+
+    rate = 10_000
+
+    def whole_kernel(ts, v, d):
+        s_ts, s_v, s_d = sample_series(ts, v, d, int(ts[0]), rate, use_closest=False)
+        if len(s_ts) == 0:
+            return s_ts, s_v, s_d
+        return sliding_window_events(s_ts, s_v, s_d, width, "mean", compress=False)
+
+    whole = _canon(per_series_stage(gappy_points, whole_kernel).to_pandas())
+    sampled = sample_stage(gappy_points, rate=rate, use_closest=False)
+    halo = _canon(
+        sliding_window_halo(
+            sampled, width, "mean", chunk_width=600_000, max_validity=rate
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(whole, halo)
