@@ -56,21 +56,34 @@ def _chunk_view(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 
 
 def knn_graph(
-    embeddings: ray.data.Dataset, k: int = 5, chunk_rows: int = 16384
+    embeddings: ray.data.Dataset,
+    k: int = 5,
+    chunk_rows: int = 16384,
+    staging_dtype: str = "float64",
 ) -> ray.data.Dataset:
     """(query_id, neighbor_id, rank) for every vector's top-k cosine neighbors,
-    rank 1..k ordered (similarity desc, neighbor_id asc), self excluded."""
+    rank 1..k ordered (similarity desc, neighbor_id asc), self excluded.
+
+    ``staging_dtype="float32"`` halves the staged-corpus plasma footprint (and
+    the matmul runs in float32 — queries are cast to match, no copies of the
+    chunk views). Scores then round to ~7 significant digits, which can flip
+    ranks between near-tied neighbors — keep the float64 default where exact
+    oracle parity matters; recall parity is pinned by pytest at tolerance."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    if staging_dtype not in ("float64", "float32"):
+        raise ValueError(f"staging_dtype must be float64|float32, got {staging_dtype}")
+    np_dt = np.dtype(staging_dtype)
+    pa_dt = pa.float64() if staging_dtype == "float64" else pa.float32()
 
     def stage(t: pa.Table) -> pa.Table:
         ids, X = _emb_matrix(t)
-        Xn = _normalize(X)
+        Xn = _normalize(X).astype(np_dt, copy=False)
         return pa.table(
             {
                 "vec_id": pa.array(ids, pa.int64()),
                 "xn": pa.FixedSizeListArray.from_arrays(
-                    pa.array(Xn.ravel(), pa.float64()), X.shape[1]
+                    pa.array(Xn.ravel(), pa_dt), X.shape[1]
                 ),
             }
         )
@@ -102,19 +115,19 @@ def knn_graph(
         at 100k x 100k."""
 
         def __init__(self):
-            self._buf = np.empty(0, dtype=np.float64)  # flat, grown once
+            self._buf = np.empty(0, dtype=np_dt)  # flat, grown once
 
         def _scores(self, Qn: np.ndarray, Xn: np.ndarray) -> np.ndarray:
             nq, nc = Qn.shape[0], Xn.shape[0]
             if self._buf.size < nq * nc:
-                self._buf = np.empty(nq * nc, dtype=np.float64)
+                self._buf = np.empty(nq * nc, dtype=np_dt)
             out = self._buf[: nq * nc].reshape(nq, nc)  # flat slice -> C-contiguous
             np.dot(Qn, Xn.T, out=out)  # F-contig B -> BLAS trans flag, no copy
             return out
 
         def __call__(self, t: pa.Table) -> pa.Table:
             qids, Q = _emb_matrix(t)
-            Qn = _normalize(Q)
+            Qn = _normalize(Q).astype(np_dt, copy=False)
             nq = len(qids)
             rows = np.arange(nq)
             cand_ids, cand_sc = [], []

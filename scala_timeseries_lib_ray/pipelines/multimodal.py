@@ -68,29 +68,60 @@ def synth_media_batch(ids: np.ndarray, kind: str = "image") -> pa.Table:
     )
 
 
-def decode_ppm(payload: bytes) -> np.ndarray:
+_PPM_HEADER_MAX = 4096  # P6 headers (magic + dims + maxval + comments) fit well under this
+
+
+def payload_views(col: pa.Array | pa.ChunkedArray) -> list[memoryview]:
+    """Zero-copy per-row memoryviews over a (large_)binary column.
+
+    ``to_pylist()`` copies EVERY payload into a fresh Python ``bytes`` before
+    any decoding happens (VERDICT r03 #8); slicing the value buffer hands each
+    actor a view over the plasma-backed Arrow buffer instead — decoders read
+    bodies via ``np.frombuffer(view, offset=...)`` without ever copying."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    odt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    views: list[memoryview] = []
+    for ch in chunks:  # per chunk — combine_chunks would COPY the payload bytes
+        if not len(ch):
+            continue
+        bufs = ch.buffers()
+        offs = np.frombuffer(bufs[1], dtype=odt)[
+            ch.offset : ch.offset + len(ch) + 1
+        ].tolist()
+        data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        views.extend(map(data.__getitem__, map(slice, offs[:-1], offs[1:])))
+    return views
+
+
+def decode_ppm(payload: "bytes | memoryview") -> np.ndarray:
     """Pure-numpy binary PPM (P6) decoder — a real decoder for a real
     uncompressed format: magic, whitespace/comment-tolerant header
-    (width height maxval), then h*w*3 raw bytes."""
-    if not payload.startswith(b"P6"):
+    (width height maxval), then h*w*3 raw bytes. Accepts a memoryview; only
+    the (bounded) header bytes are copied, the pixel body is read zero-copy."""
+    head = bytes(payload[:_PPM_HEADER_MAX])
+    if not head.startswith(b"P6"):
         raise ValueError("not a P6 PPM payload")
     pos = 2
     fields: list[int] = []
-    n = len(payload)
+    n = len(head)
     while len(fields) < 3 and pos < n:
         # skip whitespace and '#' comments
-        while pos < n and payload[pos : pos + 1].isspace():
+        while pos < n and head[pos : pos + 1].isspace():
             pos += 1
-        if pos < n and payload[pos] == ord("#"):
-            while pos < n and payload[pos] != ord("\n"):
+        if pos < n and head[pos] == ord("#"):
+            while pos < n and head[pos] != ord("\n"):
                 pos += 1
             continue
         start = pos
-        while pos < n and not payload[pos : pos + 1].isspace():
+        while pos < n and not head[pos : pos + 1].isspace():
             pos += 1
-        fields.append(int(payload[start:pos]))
+        fields.append(int(head[start:pos]))
     if len(fields) != 3:
-        raise ValueError("truncated PPM header")
+        raise ValueError(
+            "truncated PPM header"
+            if len(payload) <= _PPM_HEADER_MAX
+            else f"PPM header exceeds {_PPM_HEADER_MAX} bytes"
+        )
     w, h, maxval = fields
     if maxval != 255:
         raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
@@ -99,18 +130,18 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return px.reshape(h, w, 3)
 
 
-def _decode_image_bytes(payload: bytes) -> np.ndarray:
+def _decode_image_bytes(payload: "bytes | memoryview") -> np.ndarray:
     """Image decode seam: real P6 PPM via the numpy parser; the legacy fake
     format stays decodable; compressed formats raise (no PIL/libjpeg in this
-    container)."""
-    if payload.startswith(b"P6"):
+    container). Accepts memoryviews (zero-copy body reads)."""
+    if payload[:2] == b"P6":
         return decode_ppm(payload)
-    if payload.startswith(_MAGIC):
+    if payload[: len(_MAGIC)] == _MAGIC:
         w = int.from_bytes(payload[10:12], "big")
         h = int.from_bytes(payload[12:14], "big")
-        body = payload[14:]
+        body = np.frombuffer(payload, dtype=np.uint8, offset=14)
         reps = (w * h * 3 + len(body) - 1) // len(body)
-        px = np.frombuffer(body * reps, dtype=np.uint8)[: w * h * 3]
+        px = np.tile(body, reps)[: w * h * 3]
         return px.reshape(h, w, 3)
     raise NotImplementedError(
         "compressed image decoding is not available in this container (no PIL/libjpeg); "
@@ -132,7 +163,7 @@ class MediaFeatureActor:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         feats, ok, ws, hs, means = [], [], [], [], []
-        for payload in t.column("payload").to_pylist():
+        for payload in payload_views(t.column("payload")):
             try:
                 img = _decode_image_bytes(payload)
                 mean_rgb = img.reshape(-1, 3).mean(axis=0)
@@ -170,7 +201,7 @@ class MediaResizeActor:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         outs = []
-        for payload in t.column("payload").to_pylist():
+        for payload in payload_views(t.column("payload")):
             img = _decode_image_bytes(payload)
             ys = (np.arange(self.out_h) * img.shape[0] // self.out_h)
             xs = (np.arange(self.out_w) * img.shape[1] // self.out_w)
@@ -198,14 +229,15 @@ class FrameSampleActor:
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, frames, payloads = [], [], []
         for mid, payload in zip(
-            t.column("media_id").to_pylist(), t.column("payload").to_pylist()
+            t.column("media_id").to_pylist(), payload_views(t.column("payload"))
         ):
-            _decode_image_bytes(payload)  # validates the container
+            _decode_image_bytes(payload)  # validates the container, zero-copy
             for f in range(0, self.n_frames, self.every_k):
                 ids.append(mid)
                 frames.append(f)
                 # deterministic per-frame payload derived from the container
-                payloads.append(payload + f.to_bytes(2, "big"))
+                # (output construction materializes bytes — unavoidable copy)
+                payloads.append(bytes(payload) + f.to_bytes(2, "big"))
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
@@ -238,14 +270,14 @@ class AudioFeatureActor:
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, feats = [], []
         for mid, payload in zip(
-            t.column("media_id").to_pylist(), t.column("payload").to_pylist()
+            t.column("media_id").to_pylist(), payload_views(t.column("payload"))
         ):
-            if not payload.startswith(_MAGIC):
+            if payload[: len(_MAGIC)] != _MAGIC:
                 raise NotImplementedError(
                     "real audio decoding is not available in this container; "
                     "payload is not the deterministic fake format"
                 )
-            body = np.frombuffer(payload[14:], dtype=np.uint8).astype(np.float64)
+            body = np.frombuffer(payload, dtype=np.uint8, offset=14).astype(np.float64)
             samples = body - 128.0  # fake PCM centering
             n = (len(samples) // self.n_bands) * self.n_bands
             bands = samples[:n].reshape(self.n_bands, -1)

@@ -51,6 +51,36 @@ def test_knn_graph_matches_bruteforce(ray_session, chunk_rows):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_knn_graph_float32_staging_parity(ray_session):
+    """float32 staging halves the plasma footprint; ranks must agree with the
+    float64 baseline except where float32 rounding makes neighbors near-tied
+    (cosine gap < ~1e-5 — checked against the brute-force score matrix)."""
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.knn import knn_graph
+
+    t = _emb_table(n=300, dim=16, seed=9)
+    ds = ray.data.from_arrow(t)
+    g64 = knn_graph(ds, k=5, chunk_rows=100).to_pandas()
+    g32 = knn_graph(ds, k=5, chunk_rows=100, staging_dtype="float32").to_pandas()
+    assert len(g64) == len(g32) == 300 * 5
+    # score each returned (query, neighbor) pair with the float64 brute matrix
+    ids = np.array(t.column("vec_id").to_pylist())
+    X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    both = g64.merge(g32, on=["query_id", "rank"], suffixes=("_64", "_32"))
+    diff = both[both.neighbor_id_64 != both.neighbor_id_32]
+    if len(diff):
+        gap = np.abs(
+            S[diff.query_id, diff.neighbor_id_64] - S[diff.query_id, diff.neighbor_id_32]
+        )
+        assert gap.max() < 1e-5, f"non-tied rank flip under float32: {gap.max()}"
+    # with pytest.raises for bad dtype
+    with pytest.raises(ValueError):
+        knn_graph(ds, k=5, staging_dtype="float16")
+
+
 def test_knn_graph_k_larger_than_corpus(ray_session):
     import ray.data
 
