@@ -2358,6 +2358,129 @@ def q_dup_gram_fraction(sf_dir: str):
     return dup_gram_fraction(_docs_ds(sf_dir))
 
 
+def q_dedup_lines(sf_dir: str):
+    """C4-style corpus-wide line dedup (keep the globally first occurrence of
+    every duplicated >=10-char line, rewrite the documents). The testdata has
+    no natural duplicate lines, so the query derives a multi-line corpus
+    deterministically — each doc gains one of 7 shared boilerplate lines plus
+    a per-doc unique line — and the SQL oracle mirrors the same construction.
+    Gates winner selection (global (doc_id, idx) order), within-doc repeats,
+    eligibility, and loss-free text reconstruction."""
+    from scala_timeseries_lib_ray.pipelines.corpus import dedup_lines
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        mod7 = np.asarray(ids.to_numpy(zero_copy_only=False), np.int64) % 7
+        boiler = pa.compute.binary_join_element_wise(
+            t.column("text"),
+            pa.compute.binary_join_element_wise(
+                pa.array(["BOILERPLATE-LINE-"] * len(t)),
+                pa.compute.cast(pa.array(mod7, pa.int64()), pa.string()),
+                "",
+            ),
+            pa.compute.binary_join_element_wise(
+                pa.array(["UNIQUE-LINE-"] * len(t)),
+                pa.compute.cast(ids, pa.string()),
+                "",
+            ),
+            "\n",
+        )
+        return pa.table({"doc_id": ids, "text": boiler})
+
+    planted = _docs_ds(sf_dir).map_batches(plant, batch_format="pyarrow")
+    return dedup_lines(planted, min_count=2, min_len=10)
+
+
+SQL_DEDUP_LINES = """
+WITH d2 AS (
+  SELECT doc_id,
+         text || chr(10) || 'BOILERPLATE-LINE-' || CAST(doc_id % 7 AS VARCHAR)
+              || chr(10) || 'UNIQUE-LINE-' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d2),
+l AS (SELECT doc_id, unnest(arr) AS line, generate_subscripts(arr, 1) AS idx FROM ls),
+el AS (SELECT doc_id, idx, line FROM l WHERE length(line) >= 10),
+marked AS (
+  SELECT doc_id, idx,
+         COUNT(*) OVER (PARTITION BY line) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+  FROM el
+),
+drops AS (SELECT doc_id, idx FROM marked WHERE cnt >= 2 AND rn > 1),
+agg AS (
+  SELECT l.doc_id, string_agg(l.line, chr(10) ORDER BY l.idx) AS text
+  FROM l LEFT JOIN drops dr ON dr.doc_id = l.doc_id AND dr.idx = l.idx
+  WHERE dr.doc_id IS NULL
+  GROUP BY l.doc_id
+),
+nd AS (SELECT doc_id, COUNT(*) AS n_dropped FROM drops GROUP BY doc_id)
+SELECT d2.doc_id, COALESCE(agg.text, '') AS text,
+       COALESCE(nd.n_dropped, 0) AS n_dropped
+FROM d2
+LEFT JOIN agg ON agg.doc_id = d2.doc_id
+LEFT JOIN nd ON nd.doc_id = d2.doc_id
+"""
+
+
+def q_scrub_text(sf_dir: str):
+    """PII/URL scrubbing over a deterministically PII-planted corpus (the
+    testdata has none): each doc gains an email, a URL and a phone-like run
+    derived from doc_id; the SQL oracle mirrors the construction and chains
+    the same RE2 patterns in the same order (Arrow and DuckDB both run RE2,
+    so replacement and count semantics agree byte-for-byte)."""
+    from scala_timeseries_lib_ray.pipelines.corpus import scrub_text
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        sid = pa.compute.cast(ids, pa.string())
+        text = pa.compute.binary_join_element_wise(
+            t.column("text"),
+            pa.compute.binary_join_element_wise(
+                pa.array(["contact user"] * len(t)), sid,
+                pa.array(["@example.com"] * len(t)), "",
+            ),
+            pa.compute.binary_join_element_wise(
+                pa.array(["see https://ex.org/a?id="] * len(t)), sid, "",
+            ),
+            pa.compute.binary_join_element_wise(
+                pa.array(["call 555-0100-9"] * len(t)), sid, "",
+            ),
+            " ",
+        )
+        return pa.table({"doc_id": ids, "text": text})
+
+    planted = _docs_ds(sf_dir).map_batches(plant, batch_format="pyarrow")
+    return scrub_text(planted)
+
+
+def _sql_scrub_text() -> str:
+    from scala_timeseries_lib_ray.pipelines.corpus import SCRUB_PATTERNS
+
+    pats = {name: (pat, repl) for name, pat, repl in SCRUB_PATTERNS}
+    e_pat, e_rep = pats["email"]
+    u_pat, u_rep = pats["url"]
+    p_pat, p_rep = pats["phone"]
+    return f"""
+WITH d2 AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              || ' see https://ex.org/a?id=' || CAST(doc_id AS VARCHAR)
+              || ' call 555-0100-9' || CAST(doc_id AS VARCHAR) AS t0
+  FROM documents
+),
+s1 AS (SELECT doc_id, len(regexp_extract_all(t0, '{e_pat}')) AS n_email,
+              regexp_replace(t0, '{e_pat}', '{e_rep}', 'g') AS t1 FROM d2),
+s2 AS (SELECT doc_id, n_email, len(regexp_extract_all(t1, '{u_pat}')) AS n_url,
+              regexp_replace(t1, '{u_pat}', '{u_rep}', 'g') AS t2 FROM s1),
+s3 AS (SELECT doc_id, n_email, n_url, len(regexp_extract_all(t2, '{p_pat}')) AS n_phone,
+              regexp_replace(t2, '{p_pat}', '{p_rep}', 'g') AS t3 FROM s2)
+SELECT doc_id, t3 AS text, CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_url AS BIGINT) AS n_url, CAST(n_phone AS BIGINT) AS n_phone
+FROM s3
+"""
+
+
 def q_source_mix(sf_dir: str):
     """Deterministic weighted source mixing (domain reweighting): keep rate
     (i%4+1)/4 for src{i} via md5(doc_id) % 1000 thresholds. Stateless filter
@@ -2940,6 +3063,8 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "doc_heads": q_doc_heads,
         "doc_map_entries": q_doc_map_entries,
         "ev_sliding_mean_halo": q_ev_sliding_mean_halo,
+        "dedup_lines": q_dedup_lines,
+        "scrub_text": q_scrub_text,
     }
 
 
@@ -2984,4 +3109,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "doc_heads": SQL_DOC_HEADS,
         "doc_map_entries": SQL_DOC_MAP_ENTRIES,
         "ev_sliding_mean_halo": _sql_ev_sampled_sliding_mean(),
+        "dedup_lines": SQL_DEDUP_LINES,
+        "scrub_text": _sql_scrub_text(),
     }

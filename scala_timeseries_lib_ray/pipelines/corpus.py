@@ -434,6 +434,14 @@ def _membership_views(
     return views
 
 
+def _codes(strings: pa.Array) -> np.ndarray:
+    """Per-batch integer codes for a string array (dictionary indices)."""
+    enc = pc.dictionary_encode(strings)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    return np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+
+
 def _probe_sorted_runs(runs: list, keys: np.ndarray) -> np.ndarray:
     """Membership mask of ``keys`` against a part's sorted runs."""
     m = np.zeros(len(keys), dtype=bool)
@@ -794,12 +802,6 @@ def dup_gram_fraction(
         mask[order] = new
         return mask
 
-    def _codes(grams: pa.Array) -> np.ndarray:
-        enc = pc.dictionary_encode(grams)
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.combine_chunks()
-        return np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
-
     def hash_partial(t: pa.Table) -> pa.Table:
         ids, grams, gdoc = _doc_gram_strings(t, n)
         if grams is None:
@@ -1017,6 +1019,259 @@ def dup_gram_fraction(
     return split.map_batches(assemble, batch_format="pyarrow")
 
 
+def _doc_lines_batch(
+    t: pa.Table,
+) -> tuple[np.ndarray, pa.Array, np.ndarray, np.ndarray]:
+    """(doc_ids, flat line array, per-line doc index, per-line 0-based index
+    within its doc) — lines split on bare '\\n', nothing dropped (empty lines
+    keep their position so reconstruction is loss-free)."""
+    ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False), np.int64)
+    lists = pc.split_pattern(t.column("text"), "\n")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    lcounts = np.asarray(pc.list_value_length(lists).to_numpy(zero_copy_only=False), np.int64)
+    lines = lists.flatten()
+    docpos = np.repeat(np.arange(len(ids), dtype=np.int64), lcounts)
+    starts = np.concatenate([[0], np.cumsum(lcounts[:-1])])
+    idx = np.arange(len(docpos), dtype=np.int64) - np.repeat(starts, lcounts)
+    return ids, lines, docpos, idx
+
+
+_DOCKEY_IDX_BITS = 21  # idx < 2^21 lines/doc; doc_id < 2^42 — asserted per batch
+
+
+def _dockeys(doc_ids: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    if len(idx) and (int(idx.max()) >> _DOCKEY_IDX_BITS or int(doc_ids.max()) >> 42):
+        raise ValueError(
+            f"dockey overflow: idx must be < 2^{_DOCKEY_IDX_BITS} and doc_id < 2^42"
+        )
+    return (doc_ids.astype(np.uint64) << np.uint64(_DOCKEY_IDX_BITS)) | idx.astype(
+        np.uint64
+    )
+
+
+def dedup_lines(
+    docs: ray.data.Dataset,
+    min_count: int = 2,
+    min_len: int = 10,
+    n_parts: int = 64,
+) -> ray.data.Dataset:
+    """C4-style corpus-wide LINE deduplication: any line of >= ``min_len``
+    chars occurring >= ``min_count`` times across the whole corpus is removed
+    from every document EXCEPT its globally first occurrence (ordered by
+    (doc_id, line index)); short lines always stay. Returns
+    (doc_id, text, n_dropped) with the surviving lines rejoined by '\\n' in
+    original order — the boilerplate-stripping rewrite step of a C4/RefinedWeb
+    cleaning pipeline (C4 deduplicated repeated three-sentence spans the same
+    way: keep one occurrence corpus-wide).
+
+    Exact at any scale via the hash2pass shape shared with
+    :func:`duplicate_ngrams` / :func:`dup_gram_fraction`:
+
+    1. hash pass: per-batch counts of eligible-line hashes -> part-keyed int
+       exchange -> hashes with total count >= min_count (a superset under
+       collisions), as per-part sorted plasma membership (block refs, no
+       driver transit).
+    2. decision pass: re-scan emitting candidate (line, dockey) pairs keyed
+       by line-hash part (dockey = doc_id << 21 | idx — one uint64 per
+       occurrence). Each part task groups its pairs BY STRING — a string's
+       occurrences all land in its part, so the group count is the true
+       corpus count and min(dockey) the true winner — and emits the DROP
+       dockeys (non-winner occurrences of strings with true count >=
+       min_count), sorted, keyed by doc-part. Collisions die here: a false
+       candidate's string group has count < min_count and emits nothing.
+    3. rewrite pass: one stateless scan probes each line's dockey against the
+       sharded drop membership and rebuilds each doc's text from the kept
+       lines (vectorized list re-offsets + Arrow binary_join).
+
+    The drop set is bounded by the number of duplicate-line OCCURRENCES
+    (corpus-boilerplate-sized, far below corpus size) and lives sharded in
+    plasma; no stage materializes line text outside the one candidate
+    exchange."""
+    if n_parts & (n_parts - 1):
+        raise ValueError(f"n_parts must be a power of two, got {n_parts}")
+
+    _EMPTY_H = pa.table(
+        {
+            "h": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+            "part": pa.array([], pa.int32()),
+        }
+    )
+
+    def _eligible(lines: pa.Array) -> np.ndarray:
+        return np.asarray(
+            pc.greater_equal(pc.binary_length(lines), min_len).to_numpy(
+                zero_copy_only=False
+            )
+        )
+
+    def hash_partial(t: pa.Table) -> pa.Table:
+        _, lines, _, _ = _doc_lines_batch(t)
+        elig = _eligible(lines)
+        if not elig.any():
+            return _EMPTY_H
+        h = md5_u64_strings(lines.filter(pa.array(elig)))
+        vals, cnts = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(vals.view(np.int64), pa.int64()),
+                "cnt": pa.array(cnts.astype(np.int64)),
+                "part": pa.array((vals & np.uint64(n_parts - 1)).astype(np.int32)),
+            }
+        )
+
+    def part_dups(t: pa.Table) -> pa.Table:
+        part = t.column("part")[0]
+        g = t.drop_columns(["part"]).group_by(["h"]).aggregate([("cnt", "sum")])
+        g = g.filter(pc.greater_equal(g.column("cnt_sum"), min_count))
+        hv = np.asarray(
+            g.column("h").to_numpy(zero_copy_only=False), np.int64
+        ).view(np.uint64)
+        order = np.argsort(hv, kind="stable")
+        return pa.table(
+            {
+                "part": pa.array(np.full(len(hv), part.as_py(), np.int32)),
+                "h": pa.array(hv[order].view(np.int64), pa.int64()),
+            }
+        )
+
+    hrefs = _membership_refs(
+        docs.map_batches(hash_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_dups, batch_format="pyarrow")
+    )
+
+    _EMPTY_PAIR = pa.table(
+        {
+            "part": pa.array([], pa.int32()),
+            "line": pa.array([], pa.string()),
+            "dockey": pa.array([], pa.int64()),
+        }
+    )
+
+    def pair_scan(t: pa.Table) -> pa.Table:
+        ids, lines, docpos, idx = _doc_lines_batch(t)
+        elig = _eligible(lines)
+        if not elig.any():
+            return _EMPTY_PAIR
+        views = _membership_views(hrefs)
+        if not views:
+            return _EMPTY_PAIR
+        lines = lines.filter(pa.array(elig))
+        docpos, idx = docpos[elig], idx[elig]
+        h = md5_u64_strings(lines)
+        part = (h & np.uint64(n_parts - 1)).astype(np.int32)
+        order = np.argsort(part, kind="stable")
+        h_s, part_s = h[order], part[order]
+        seg = np.flatnonzero(np.r_[True, part_s[1:] != part_s[:-1]])
+        seg_end = np.r_[seg[1:], len(part_s)]
+        m_s = np.zeros(len(h), dtype=bool)
+        for lo, hi in zip(seg, seg_end):
+            runs = views.get(int(part_s[lo]))
+            if runs:
+                m_s[lo:hi] = _probe_sorted_runs(runs, h_s[lo:hi])
+        m = np.zeros(len(h), dtype=bool)
+        m[order] = m_s
+        if not m.any():
+            return _EMPTY_PAIR
+        keys = _dockeys(ids[docpos[m]], idx[m])
+        return pa.table(
+            {
+                "part": pa.array(part[m], pa.int32()),
+                "line": lines.filter(pa.array(m)),
+                "dockey": pa.array(keys.view(np.int64), pa.int64()),
+            }
+        )
+
+    def part_drops(t: pa.Table) -> pa.Table:
+        # one line-hash part's candidate pairs: group by STRING (true counts,
+        # true winners — collisions separate here), emit non-winner dockeys of
+        # strings with count >= min_count, grouped by doc-part and sorted so
+        # each emitted run is probe-ready
+        lines = t.column("line").combine_chunks()
+        codes = _codes(lines)
+        keys = np.asarray(
+            t.column("dockey").to_numpy(zero_copy_only=False), np.int64
+        ).view(np.uint64)
+        cnts = np.bincount(codes)
+        order = np.lexsort((keys, codes))
+        c_s, k_s = codes[order], keys[order]
+        first = np.r_[True, c_s[1:] != c_s[:-1]]
+        drop = (~first) & (cnts[c_s] >= min_count)
+        dk = k_s[drop]
+        empty = pa.array([], pa.int64())
+        if not len(dk):
+            return pa.table(
+                {"part": pa.array([], pa.int32()), "h": empty}
+            )
+        dpart = ((dk >> np.uint64(_DOCKEY_IDX_BITS)) & np.uint64(n_parts - 1)).astype(
+            np.int32
+        )
+        o = np.lexsort((dk, dpart))
+        return pa.table(
+            {
+                "part": pa.array(dpart[o], pa.int32()),
+                "h": pa.array(dk[o].view(np.int64), pa.int64()),
+            }
+        )
+
+    drefs = _membership_refs(
+        docs.map_batches(pair_scan, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_drops, batch_format="pyarrow")
+    )
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        ids, lines, docpos, idx = _doc_lines_batch(t)
+        keep = np.ones(len(docpos), dtype=bool)
+        views = _membership_views(drefs) if len(docpos) else None
+        if views:
+            keys = _dockeys(ids[docpos], idx)
+            dpart = ((keys >> np.uint64(_DOCKEY_IDX_BITS)) & np.uint64(n_parts - 1)).astype(
+                np.int32
+            )
+            order = np.argsort(dpart, kind="stable")
+            k_s, p_s = keys[order], dpart[order]
+            seg = np.flatnonzero(np.r_[True, p_s[1:] != p_s[:-1]])
+            seg_end = np.r_[seg[1:], len(p_s)]
+            m_s = np.zeros(len(keys), dtype=bool)
+            for lo, hi in zip(seg, seg_end):
+                runs = views.get(int(p_s[lo]))
+                if runs:
+                    m_s[lo:hi] = _probe_sorted_runs(runs, k_s[lo:hi])
+            dropped = np.zeros(len(keys), dtype=bool)
+            dropped[order] = m_s
+            keep = ~dropped
+        kept_lines = lines.filter(pa.array(keep))
+        kept_counts = (
+            np.bincount(docpos[keep], minlength=len(ids))
+            if len(docpos)
+            else np.zeros(len(ids), np.int64)
+        )
+        offsets = np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int64)
+        if isinstance(kept_lines, pa.ChunkedArray):
+            kept_lines = kept_lines.combine_chunks()
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), kept_lines
+        )
+        text = pc.binary_join(lists, "\n")
+        n_dropped = (
+            np.bincount(docpos[~keep], minlength=len(ids)).astype(np.int64)
+            if len(docpos)
+            else np.zeros(len(ids), np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": text.cast(pa.string()) if not pa.types.is_string(text.type) else text,
+                "n_dropped": pa.array(n_dropped),
+            }
+        )
+
+    return docs.map_batches(rewrite, batch_format="pyarrow")
+
+
 def source_mix(
     docs: ray.data.Dataset,
     rates: dict[str, float],
@@ -1164,6 +1419,47 @@ def normalize_text(
                 id_col: t.column(id_col).cast(pa.int64()),
                 "text_norm": x,
                 "n_chars_norm": pc.utf8_length(x).cast(pa.int64()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+# PII/URL scrubbing patterns — RE2 syntax (identical engine on Arrow's
+# replace_substring_regex and DuckDB's regexp_replace, so the oracle mirrors
+# byte-for-byte). Deliberately simple, deterministic patterns: the point is
+# exact, auditable redaction, not maximal recall.
+SCRUB_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("phone", r"\+?[0-9][0-9()\-\. ]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_text(
+    docs: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """PII/URL scrubbing (the redaction pass a pretraining pipeline runs before
+    publication): replace emails, URLs and phone-like digit runs with typed
+    placeholder tokens, counting each redaction class per document. Pure Arrow
+    RE2 kernels, stateless map, no shuffle; patterns apply in a fixed order
+    (email -> url -> phone) so the output is deterministic.
+
+    Output: (id_col, text, n_email, n_url, n_phone)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        x = t.column(text_col)
+        counts = {}
+        for name, pat, repl in SCRUB_PATTERNS:
+            counts[name] = pc.count_substring_regex(x, pat).cast(pa.int64())
+            x = pc.replace_substring_regex(x, pat, repl)
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()),
+                "text": x,
+                "n_email": counts["email"],
+                "n_url": counts["url"],
+                "n_phone": counts["phone"],
             }
         )
 

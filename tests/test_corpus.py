@@ -2,6 +2,7 @@
 
 import re
 
+import pandas as pd
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -426,3 +427,96 @@ def test_doc_top_terms_matches_bruteforce(ray_session):
     pd.testing.assert_frame_equal(got, want)
     with pytest.raises(ValueError):
         doc_top_terms(ds, k=0)
+
+
+def _brute_dedup_lines(rows, min_count=2, min_len=10):
+    """Python mirror: global line counts over eligible lines, keep the first
+    occurrence by (doc_id, idx), rebuild texts."""
+    occ = {}
+    for doc_id, text in rows:
+        for i, line in enumerate(text.split("\n")):
+            if len(line) >= min_len:
+                occ.setdefault(line, []).append((doc_id, i))
+    drops = set()
+    for line, ks in occ.items():
+        if len(ks) >= min_count:
+            drops.update(sorted(ks)[1:])
+    out = []
+    for doc_id, text in rows:
+        kept = [
+            line
+            for i, line in enumerate(text.split("\n"))
+            if (doc_id, i) not in drops
+        ]
+        nd = len(text.split("\n")) - len(kept)
+        out.append((doc_id, "\n".join(kept), nd))
+    return pd.DataFrame(out, columns=["doc_id", "text", "n_dropped"])
+
+
+def test_dedup_lines_matches_bruteforce(ray_session):
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.corpus import dedup_lines
+
+    rows = [
+        (0, "the same boilerplate line here\nunique alpha content first doc"),
+        (1, "unique beta content\nthe same boilerplate line here\nshort"),  # drop l1
+        (2, "the same boilerplate line here\nthe same boilerplate line here"),  # both drop (0 wins)
+        (3, "singleton line long enough\n\ntrailing empty kept\n"),
+        (4, "short\nshort\nshort"),  # below min_len: never deduped
+        (5, "unique gamma content doc five"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+        }
+    )
+    ds = ray.data.from_arrow([t.slice(i, 2) for i in range(0, len(rows), 2)])
+    got = (
+        dedup_lines(ds, min_count=2, min_len=10, n_parts=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _brute_dedup_lines(rows)
+    pd.testing.assert_frame_equal(got, want)
+    byid = got.set_index("doc_id")
+    assert byid.loc[0, "n_dropped"] == 0  # global winner keeps its line
+    assert byid.loc[1, "n_dropped"] == 1
+    assert byid.loc[2, "n_dropped"] == 2  # within-doc repeats both lose to doc 0
+    assert byid.loc[4, "n_dropped"] == 0  # short lines ineligible
+    assert byid.loc[3, "text"] == rows[3][1]  # empty/trailing lines loss-free
+
+
+def test_dedup_lines_fuzz_vs_bruteforce(ray_session):
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.corpus import dedup_lines
+
+    rng = np.random.default_rng(23)
+    pool = [f"boilerplate line number {i} with padding" for i in range(12)]
+    rows = []
+    for d in range(120):
+        n = rng.integers(0, 6)
+        lines = [pool[j] for j in rng.integers(0, 12, n)]
+        if rng.random() < 0.3:
+            lines.append(f"unique to doc {d} with enough length")
+        if rng.random() < 0.2:
+            lines.append("tiny")
+        rows.append((d, "\n".join(lines)))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+        }
+    )
+    ds = ray.data.from_arrow([t.slice(i, 37) for i in range(0, len(rows), 37)])
+    for mc in (2, 4):
+        got = (
+            dedup_lines(ds, min_count=mc, min_len=10, n_parts=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, _brute_dedup_lines(rows, min_count=mc))
