@@ -66,8 +66,15 @@ def merge_pair_exact(
     op: MergeOp,
     out_source: str | None = None,
     compress: bool = True,
+    max_rows: int = 20_000_000,
 ) -> ray.data.Dataset:
-    """Exact whole-timeline merge of two named series from a points dataset."""
+    """Exact whole-timeline merge of two named series from a points dataset.
+
+    TIER-SIZED INPUTS ONLY: the constant grouping key funnels both series into
+    ONE task (a deliberate exact path for rolled-up tiers). ``max_rows`` guards
+    against reaching for this on raw points — the group task refuses oversized
+    inputs and points the caller at the block-co-partitioned ``merge_blocks``
+    (the scale path the driver queries gate)."""
     out_source = out_source or f"{source_a}+{source_b}"
     filtered = points.map_batches(
         lambda t: t.filter(
@@ -77,6 +84,12 @@ def merge_pair_exact(
     )
 
     def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows > max_rows:
+            raise ValueError(
+                f"merge_pair_exact is the single-task tier-sized path; got "
+                f"{t.num_rows} rows > max_rows={max_rows}. Use merge_blocks "
+                f"(block-co-partitioned) for raw-point-scale series."
+            )
         a = _series_from_table(t, source_a)
         b = _series_from_table(t, source_b)
         return _merged_table(out_source, merge_sweep([a, b], op, compress))

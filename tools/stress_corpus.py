@@ -97,6 +97,22 @@ def main() -> None:
     elif args.op == "repetition_stats":
         out = C.repetition_stats(docs)
         n = out.count()
+    elif args.op == "dedup_lines":
+        # re-line the single-line corpus deterministically (every 12 words ->
+        # one line) so line counts/winners are genuinely loaded
+        def reline(t):
+            import pyarrow.compute as pc
+
+            x = pc.replace_substring_regex(
+                t.column("text"), r"((?:\S+ ){11}\S+) ", "\\1\n"
+            )
+            return pa.table({"doc_id": t.column("doc_id"), "text": x})
+
+        out = C.dedup_lines(docs.map_batches(reline, batch_format="pyarrow"))
+        n = out.count()
+    elif args.op == "scrub_text":
+        out = C.scrub_text(docs)
+        n = out.count()
     else:
         raise SystemExit(f"unknown op {args.op}")
     wall = time.time() - t0
