@@ -2423,6 +2423,46 @@ LEFT JOIN nd ON nd.doc_id = d2.doc_id
 """
 
 
+def q_dedup_spans(sf_dir: str):
+    """ExactSubstr-style duplicate 5-token-span removal over the natural
+    corpus (testdata HAS duplicated word-5-grams — the dup_ngrams heavy
+    hitters): every covered token of a non-winner duplicate span is dropped,
+    docs rebuilt from the surviving normalized tokens. Gates winner order,
+    span->token coverage expansion and the rebuild."""
+    from scala_timeseries_lib_ray.pipelines.corpus import dedup_spans
+
+    return dedup_spans(_docs_ds(sf_dir), n=5, min_count=2)
+
+
+SQL_DEDUP_SPANS = """
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+g AS (SELECT doc_id, i AS pos,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS gram
+      FROM w, unnest(range(1, len(ws) - 3)) t(i)),
+marked AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY gram) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM g),
+drops AS (SELECT doc_id, pos, 1 AS flag FROM marked WHERE cnt >= 2 AND rn > 1),
+tok AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos FROM w),
+cov AS (
+  SELECT t.doc_id, t.pos, t.word,
+         MAX(COALESCE(d.flag, 0)) OVER (
+           PARTITION BY t.doc_id ORDER BY t.pos
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS covered
+  FROM tok t LEFT JOIN drops d ON d.doc_id = t.doc_id AND d.pos = t.pos),
+agg AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text, COUNT(*) AS n_kept
+  FROM cov WHERE covered = 0 GROUP BY doc_id),
+nt AS (SELECT doc_id, len(ws) AS n_tokens FROM w)
+SELECT nt.doc_id, COALESCE(agg.text, '') AS text,
+       CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+       CAST(nt.n_tokens - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed
+FROM nt LEFT JOIN agg USING (doc_id)
+"""
+
+
 def q_scrub_text(sf_dir: str):
     """PII/URL scrubbing over a deterministically PII-planted corpus (the
     testdata has none): each doc gains an email, a URL and a phone-like run
@@ -3065,6 +3105,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "ev_sliding_mean_halo": q_ev_sliding_mean_halo,
         "dedup_lines": q_dedup_lines,
         "scrub_text": q_scrub_text,
+        "dedup_spans": q_dedup_spans,
     }
 
 
@@ -3111,4 +3152,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "ev_sliding_mean_halo": _sql_ev_sampled_sliding_mean(),
         "dedup_lines": SQL_DEDUP_LINES,
         "scrub_text": _sql_scrub_text(),
+        "dedup_spans": SQL_DEDUP_SPANS,
     }

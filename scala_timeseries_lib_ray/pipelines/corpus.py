@@ -422,7 +422,13 @@ def _membership_views(
             if payload_col
             else None
         )
-        seg = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]])
+        # a block may CONCATENATE several map_groups outputs; when the emitted
+        # part key is not the group key (e.g. drop sets keyed by doc-part from
+        # gram-part groups), same-part rows from different groups can sit
+        # adjacent — each group's slice is sorted but the stitch is not. Split
+        # runs on part change OR a descending key step (stitch points only).
+        desc = ks[1:] < ks[:-1]
+        seg = np.flatnonzero(np.r_[True, (ps[1:] != ps[:-1]) | desc])
         seg_end = np.r_[seg[1:], len(ps)]
         for lo, hi in zip(seg, seg_end):
             views.setdefault(int(ps[lo]), []).append(
@@ -1026,6 +1032,9 @@ def _doc_lines_batch(
     within its doc) — lines split on bare '\\n', nothing dropped (empty lines
     keep their position so reconstruction is loss-free)."""
     ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False), np.int64)
+    if not len(ids):
+        e = np.empty(0, np.int64)
+        return ids, pa.array([], pa.string()), e, e
     lists = pc.split_pattern(t.column("text"), "\n")
     if isinstance(lists, pa.ChunkedArray):
         lists = lists.combine_chunks()
@@ -1266,6 +1275,244 @@ def dedup_lines(
                 "doc_id": pa.array(ids, pa.int64()),
                 "text": text.cast(pa.string()) if not pa.types.is_string(text.type) else text,
                 "n_dropped": pa.array(n_dropped),
+            }
+        )
+
+    return docs.map_batches(rewrite, batch_format="pyarrow")
+
+
+def dedup_spans(
+    docs: ray.data.Dataset,
+    n: int = 5,
+    min_count: int = 2,
+    n_parts: int = 64,
+) -> ray.data.Dataset:
+    """ExactSubstr-style duplicate-SPAN removal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): any n-token
+    span occurring >= ``min_count`` times corpus-wide is removed from every
+    document except its globally first occurrence — every token covered by a
+    non-winner duplicate span is dropped and the document is rebuilt from the
+    survivors. Operates on the NORMALIZED token stream (the shared tokenizer:
+    lowercase, alnum runs), so the rewritten text is space-joined normalized
+    tokens; returns (doc_id, text, n_tokens, n_removed).
+
+    Same three-pass candidate-bounded hash2pass shape as :func:`dedup_lines`
+    (span hash exchange -> per-part string-exact winners by global
+    (doc_id, pos) order -> sharded drop-span membership), plus a vectorized
+    difference-array expansion from dropped span STARTS to covered TOKENS in
+    the final rewrite (spans never cross documents, so the flat cumsum is
+    exact). Zero corpus-sized shuffles; the drop set is bounded by duplicate
+    span occurrences."""
+    if n_parts & (n_parts - 1):
+        raise ValueError(f"n_parts must be a power of two, got {n_parts}")
+    if n < 2:
+        raise ValueError(f"span length n must be >= 2, got {n}")
+
+    def _grams_with_pos(t: pa.Table):
+        """(doc_ids, flat words, word docpos, word pos-in-doc, span strings,
+        span docpos, span pos-in-doc) — spans = every n-word window."""
+        ids, W, docpos, counts = _word_codes_batch(t)
+        total = len(W)
+        starts = np.concatenate([[0], np.cumsum(counts[:-1])]).astype(np.int64)
+        tpos = (
+            np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+            if total
+            else np.empty(0, np.int64)
+        )
+        if total < n:
+            return ids, W, docpos, tpos, None, None, None
+        parts = [W.slice(j, total - n + 1) for j in range(n)]
+        joined = pc.binary_join_element_wise(*parts, " ")
+        valid = docpos[: total - n + 1] == docpos[n - 1 :]
+        if not valid.any():
+            return ids, W, docpos, tpos, None, None, None
+        v = pa.array(valid)
+        return (
+            ids, W, docpos, tpos,
+            joined.filter(v),
+            docpos[: total - n + 1][valid],
+            tpos[: total - n + 1][valid],
+        )
+
+    _EMPTY_H = pa.table(
+        {
+            "h": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+            "part": pa.array([], pa.int32()),
+        }
+    )
+
+    def hash_partial(t: pa.Table) -> pa.Table:
+        _, _, _, _, grams, _, _ = _grams_with_pos(t)
+        if grams is None:
+            return _EMPTY_H
+        h = md5_u64_strings(grams)
+        vals, cnts = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(vals.view(np.int64), pa.int64()),
+                "cnt": pa.array(cnts.astype(np.int64)),
+                "part": pa.array((vals & np.uint64(n_parts - 1)).astype(np.int32)),
+            }
+        )
+
+    def part_dups(t: pa.Table) -> pa.Table:
+        part = t.column("part")[0]
+        g = t.drop_columns(["part"]).group_by(["h"]).aggregate([("cnt", "sum")])
+        g = g.filter(pc.greater_equal(g.column("cnt_sum"), min_count))
+        hv = np.asarray(
+            g.column("h").to_numpy(zero_copy_only=False), np.int64
+        ).view(np.uint64)
+        order = np.argsort(hv, kind="stable")
+        return pa.table(
+            {
+                "part": pa.array(np.full(len(hv), part.as_py(), np.int32)),
+                "h": pa.array(hv[order].view(np.int64), pa.int64()),
+            }
+        )
+
+    hrefs = _membership_refs(
+        docs.map_batches(hash_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_dups, batch_format="pyarrow")
+    )
+
+    _EMPTY_PAIR = pa.table(
+        {
+            "part": pa.array([], pa.int32()),
+            "line": pa.array([], pa.string()),
+            "dockey": pa.array([], pa.int64()),
+        }
+    )
+
+    def pair_scan(t: pa.Table) -> pa.Table:
+        ids, _, _, _, grams, gdoc, gpos = _grams_with_pos(t)
+        if grams is None:
+            return _EMPTY_PAIR
+        views = _membership_views(hrefs)
+        if not views:
+            return _EMPTY_PAIR
+        h = md5_u64_strings(grams)
+        part = (h & np.uint64(n_parts - 1)).astype(np.int32)
+        order = np.argsort(part, kind="stable")
+        h_s, part_s = h[order], part[order]
+        seg = np.flatnonzero(np.r_[True, part_s[1:] != part_s[:-1]])
+        seg_end = np.r_[seg[1:], len(part_s)]
+        m_s = np.zeros(len(h), dtype=bool)
+        for lo, hi in zip(seg, seg_end):
+            runs = views.get(int(part_s[lo]))
+            if runs:
+                m_s[lo:hi] = _probe_sorted_runs(runs, h_s[lo:hi])
+        m = np.zeros(len(h), dtype=bool)
+        m[order] = m_s
+        if not m.any():
+            return _EMPTY_PAIR
+        keys = _dockeys(ids[gdoc[m]], gpos[m])
+        return pa.table(
+            {
+                "part": pa.array(part[m], pa.int32()),
+                "line": grams.filter(pa.array(m)),
+                "dockey": pa.array(keys.view(np.int64), pa.int64()),
+            }
+        )
+
+    def part_drops(t: pa.Table) -> pa.Table:
+        # identical winner logic to dedup_lines.part_drops: true counts and
+        # winners by STRING inside the span-hash part; emit non-winner span
+        # dockeys keyed by doc-part, sorted probe-ready
+        lines = t.column("line").combine_chunks()
+        codes = _codes(lines)
+        keys = np.asarray(
+            t.column("dockey").to_numpy(zero_copy_only=False), np.int64
+        ).view(np.uint64)
+        cnts = np.bincount(codes)
+        order = np.lexsort((keys, codes))
+        c_s, k_s = codes[order], keys[order]
+        first = np.r_[True, c_s[1:] != c_s[:-1]]
+        drop = (~first) & (cnts[c_s] >= min_count)
+        dk = k_s[drop]
+        if not len(dk):
+            return pa.table(
+                {"part": pa.array([], pa.int32()), "h": pa.array([], pa.int64())}
+            )
+        dpart = ((dk >> np.uint64(_DOCKEY_IDX_BITS)) & np.uint64(n_parts - 1)).astype(
+            np.int32
+        )
+        o = np.lexsort((dk, dpart))
+        return pa.table(
+            {
+                "part": pa.array(dpart[o], pa.int32()),
+                "h": pa.array(dk[o].view(np.int64), pa.int64()),
+            }
+        )
+
+    drefs = _membership_refs(
+        docs.map_batches(pair_scan, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_drops, batch_format="pyarrow")
+    )
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        ids, W, docpos, tpos, grams, gdoc, gpos = _grams_with_pos(t)
+        total = len(W)
+        covered = np.zeros(total, dtype=bool)
+        if grams is not None:
+            views = _membership_views(drefs)
+            if views:
+                keys = _dockeys(ids[gdoc], gpos)
+                dpart = (
+                    (keys >> np.uint64(_DOCKEY_IDX_BITS)) & np.uint64(n_parts - 1)
+                ).astype(np.int32)
+                order = np.argsort(dpart, kind="stable")
+                k_s, p_s = keys[order], dpart[order]
+                seg = np.flatnonzero(np.r_[True, p_s[1:] != p_s[:-1]])
+                seg_end = np.r_[seg[1:], len(p_s)]
+                m_s = np.zeros(len(keys), dtype=bool)
+                for lo, hi in zip(seg, seg_end):
+                    runs = views.get(int(p_s[lo]))
+                    if runs:
+                        m_s[lo:hi] = _probe_sorted_runs(runs, k_s[lo:hi])
+                dropped = np.zeros(len(keys), dtype=bool)
+                dropped[order] = m_s
+                if dropped.any():
+                    # difference-array expansion: span start -> n covered
+                    # tokens; spans never cross docs, flat indices are exact.
+                    # The span at (gdoc[i], gpos[i]) starts at flat index
+                    # start(gdoc[i]) + gpos[i].
+                    counts = np.bincount(docpos, minlength=len(ids)).astype(np.int64)
+                    starts = np.concatenate([[0], np.cumsum(counts[:-1])]).astype(
+                        np.int64
+                    )
+                    flat = starts[gdoc[dropped]] + gpos[dropped]
+                    diff = np.zeros(total + n, np.int64)
+                    np.add.at(diff, flat, 1)
+                    np.subtract.at(diff, flat + n, 1)
+                    covered = np.cumsum(diff[:total]) > 0
+        keep = ~covered
+        kept = W.filter(pa.array(keep)) if total else W
+        if isinstance(kept, pa.ChunkedArray):
+            kept = kept.combine_chunks()
+        kept_counts = (
+            np.bincount(docpos[keep], minlength=len(ids)).astype(np.int64)
+            if total
+            else np.zeros(len(ids), np.int64)
+        )
+        offsets = np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int64)
+        lists = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), kept)
+        text = pc.binary_join(lists, " ")
+        n_tokens = (
+            np.bincount(docpos, minlength=len(ids)).astype(np.int64)
+            if total
+            else np.zeros(len(ids), np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": text.cast(pa.string())
+                if not pa.types.is_string(text.type)
+                else text,
+                "n_tokens": pa.array(n_tokens),
+                "n_removed": pa.array(n_tokens - kept_counts),
             }
         )
 

@@ -520,3 +520,84 @@ def test_dedup_lines_fuzz_vs_bruteforce(ray_session):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, _brute_dedup_lines(rows, min_count=mc))
+
+
+def _brute_dedup_spans(rows, n=5, min_count=2):
+    tok = {d: re.findall(r"[a-z0-9]+", t.lower()) for d, t in rows}
+    occ = {}
+    for d, ws in tok.items():
+        for p in range(len(ws) - n + 1):
+            occ.setdefault(tuple(ws[p : p + n]), []).append((d, p))
+    cover = {d: [False] * len(ws) for d, ws in tok.items()}
+    for span, ks in occ.items():
+        if len(ks) >= min_count:
+            for d, p in sorted(ks)[1:]:
+                for i in range(p, p + n):
+                    cover[d][i] = True
+    out = []
+    for d, ws in tok.items():
+        kept = [w for w, c in zip(ws, cover[d]) if not c]
+        out.append((d, " ".join(kept), len(ws), len(ws) - len(kept)))
+    return pd.DataFrame(out, columns=["doc_id", "text", "n_tokens", "n_removed"])
+
+
+def test_dedup_spans_matches_bruteforce(ray_session):
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.corpus import dedup_spans
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta unique tail zero"),
+        (1, "prefix one alpha beta gamma delta epsilon zeta suffix"),  # span dup of 0
+        (2, "alpha beta gamma delta epsilon alpha beta gamma delta epsilon"),  # overlapping dups
+        (3, "tiny doc"),  # shorter than n -> untouched
+        (4, "totally different words without any shared span content"),
+        (5, ""),  # empty
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+        }
+    )
+    ds = ray.data.from_arrow([t.slice(i, 2) for i in range(0, len(rows), 2)])
+    got = (
+        dedup_spans(ds, n=5, min_count=2, n_parts=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _brute_dedup_spans(rows)
+    pd.testing.assert_frame_equal(got, want)
+    byid = got.set_index("doc_id")
+    assert byid.loc[0, "n_removed"] == 0  # global winner untouched
+    assert byid.loc[1, "n_removed"] >= 5  # the copied span's tokens dropped
+    assert byid.loc[2, "n_removed"] > 0  # within-doc overlap handled
+    assert byid.loc[3, "n_removed"] == 0 and byid.loc[5, "n_tokens"] == 0
+
+
+def test_dedup_spans_fuzz_vs_bruteforce(ray_session):
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.corpus import dedup_spans
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(25)]  # tiny vocab -> real repeated 4-spans
+    rows = [
+        (d, " ".join(rng.choice(vocab, rng.integers(0, 30)))) for d in range(150)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+        }
+    )
+    ds = ray.data.from_arrow([t.slice(i, 41) for i in range(0, len(rows), 41)])
+    for n, mc in ((4, 2), (3, 3)):
+        got = (
+            dedup_spans(ds, n=n, min_count=mc, n_parts=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, _brute_dedup_spans(rows, n=n, min_count=mc))

@@ -113,6 +113,9 @@ def main() -> None:
     elif args.op == "scrub_text":
         out = C.scrub_text(docs)
         n = out.count()
+    elif args.op == "dedup_spans":
+        out = C.dedup_spans(docs)
+        n = out.count()
     else:
         raise SystemExit(f"unknown op {args.op}")
     wall = time.time() - t0
