@@ -601,3 +601,31 @@ def test_dedup_spans_fuzz_vs_bruteforce(ray_session):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, _brute_dedup_spans(rows, n=n, min_count=mc))
+
+
+def test_membership_views_split_stitched_runs(ray_session):
+    """Blocks concatenate multiple map_groups outputs; same-part rows from
+    different groups stitch adjacent with a descending key step. Views must
+    split there (regression: a fused unsorted 'run' made binary-search probes
+    miss drop keys in dedup_spans/dedup_lines)."""
+    import ray
+
+    from scala_timeseries_lib_ray.pipelines.corpus import (
+        _membership_views,
+        _probe_sorted_runs,
+    )
+
+    # one block = group A's [part 2: keys 50, 60] then group B's [part 2: 10, 40]
+    t = pa.table(
+        {
+            "part": pa.array([2, 2, 2, 2], pa.int32()),
+            "h": pa.array([50, 60, 10, 40], pa.int64()),
+        }
+    )
+    ref = ray.put(t)
+    views = _membership_views((ref,))
+    assert len(views[2]) == 2  # split at the 60 -> 10 stitch
+    for probe in (10, 40, 50, 60):
+        got = _probe_sorted_runs(views[2], np.array([probe], np.uint64))
+        assert got[0], f"probe missed key {probe}"
+    assert not _probe_sorted_runs(views[2], np.array([55], np.uint64))[0]
