@@ -1046,17 +1046,23 @@ def _doc_lines_batch(
     return ids, lines, docpos, idx
 
 
-_DOCKEY_IDX_BITS = 21  # idx < 2^21 lines/doc; doc_id < 2^42 — asserted per batch
+_DOCKEY_IDX_BITS = 21  # default: idx < 2^21 positions/doc; doc_id < 2^43 — asserted per batch
 
 
-def _dockeys(doc_ids: np.ndarray, idx: np.ndarray) -> np.ndarray:
-    if len(idx) and (int(idx.max()) >> _DOCKEY_IDX_BITS or int(doc_ids.max()) >> 42):
+def _dockeys(
+    doc_ids: np.ndarray, idx: np.ndarray, idx_bits: int = _DOCKEY_IDX_BITS
+) -> np.ndarray:
+    """Pack (doc_id, position) into one uint64 occurrence key. ``idx_bits``
+    splits the 64-bit budget: raise it for corpora with book-length documents
+    (e.g. 24 -> 16.7M positions/doc, still 2^40 = 1.1e12 doc ids)."""
+    if len(idx) and (
+        int(idx.max()) >> idx_bits or int(doc_ids.max()) >> (64 - idx_bits)
+    ):
         raise ValueError(
-            f"dockey overflow: idx must be < 2^{_DOCKEY_IDX_BITS} and doc_id < 2^42"
+            f"dockey overflow: idx must be < 2^{idx_bits} and doc_id < "
+            f"2^{64 - idx_bits}; raise idx_bits for longer documents"
         )
-    return (doc_ids.astype(np.uint64) << np.uint64(_DOCKEY_IDX_BITS)) | idx.astype(
-        np.uint64
-    )
+    return (doc_ids.astype(np.uint64) << np.uint64(idx_bits)) | idx.astype(np.uint64)
 
 
 def dedup_lines(
@@ -1064,6 +1070,7 @@ def dedup_lines(
     min_count: int = 2,
     min_len: int = 10,
     n_parts: int = 64,
+    idx_bits: int = _DOCKEY_IDX_BITS,
 ) -> ray.data.Dataset:
     """C4-style corpus-wide LINE deduplication: any line of >= ``min_len``
     chars occurring >= ``min_count`` times across the whole corpus is removed
@@ -1184,7 +1191,7 @@ def dedup_lines(
         m[order] = m_s
         if not m.any():
             return _EMPTY_PAIR
-        keys = _dockeys(ids[docpos[m]], idx[m])
+        keys = _dockeys(ids[docpos[m]], idx[m], idx_bits)
         return pa.table(
             {
                 "part": pa.array(part[m], pa.int32()),
@@ -1214,7 +1221,7 @@ def dedup_lines(
             return pa.table(
                 {"part": pa.array([], pa.int32()), "h": empty}
             )
-        dpart = ((dk >> np.uint64(_DOCKEY_IDX_BITS)) & np.uint64(n_parts - 1)).astype(
+        dpart = ((dk >> np.uint64(idx_bits)) & np.uint64(n_parts - 1)).astype(
             np.int32
         )
         o = np.lexsort((dk, dpart))
@@ -1236,8 +1243,8 @@ def dedup_lines(
         keep = np.ones(len(docpos), dtype=bool)
         views = _membership_views(drefs) if len(docpos) else None
         if views:
-            keys = _dockeys(ids[docpos], idx)
-            dpart = ((keys >> np.uint64(_DOCKEY_IDX_BITS)) & np.uint64(n_parts - 1)).astype(
+            keys = _dockeys(ids[docpos], idx, idx_bits)
+            dpart = ((keys >> np.uint64(idx_bits)) & np.uint64(n_parts - 1)).astype(
                 np.int32
             )
             order = np.argsort(dpart, kind="stable")
@@ -1286,6 +1293,7 @@ def dedup_spans(
     n: int = 5,
     min_count: int = 2,
     n_parts: int = 64,
+    idx_bits: int = _DOCKEY_IDX_BITS,
 ) -> ray.data.Dataset:
     """ExactSubstr-style duplicate-SPAN removal (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better"): any n-token
@@ -1407,7 +1415,7 @@ def dedup_spans(
         m[order] = m_s
         if not m.any():
             return _EMPTY_PAIR
-        keys = _dockeys(ids[gdoc[m]], gpos[m])
+        keys = _dockeys(ids[gdoc[m]], gpos[m], idx_bits)
         return pa.table(
             {
                 "part": pa.array(part[m], pa.int32()),
@@ -1435,7 +1443,7 @@ def dedup_spans(
             return pa.table(
                 {"part": pa.array([], pa.int32()), "h": pa.array([], pa.int64())}
             )
-        dpart = ((dk >> np.uint64(_DOCKEY_IDX_BITS)) & np.uint64(n_parts - 1)).astype(
+        dpart = ((dk >> np.uint64(idx_bits)) & np.uint64(n_parts - 1)).astype(
             np.int32
         )
         o = np.lexsort((dk, dpart))
@@ -1459,9 +1467,9 @@ def dedup_spans(
         if grams is not None:
             views = _membership_views(drefs)
             if views:
-                keys = _dockeys(ids[gdoc], gpos)
+                keys = _dockeys(ids[gdoc], gpos, idx_bits)
                 dpart = (
-                    (keys >> np.uint64(_DOCKEY_IDX_BITS)) & np.uint64(n_parts - 1)
+                    (keys >> np.uint64(idx_bits)) & np.uint64(n_parts - 1)
                 ).astype(np.int32)
                 order = np.argsort(dpart, kind="stable")
                 k_s, p_s = keys[order], dpart[order]
