@@ -405,7 +405,7 @@ def _membership_views(
     task-side-sorted slice (a part spans >1 run only if Ray split the block);
     probes binary-search every run. Cached per worker process — map tasks in
     the same worker reuse the views instead of re-slicing per batch."""
-    key = (tuple(r.hex() for r in block_refs), sort_col, payload_col)
+    key = (tuple(r.hex() for r in block_refs), sort_col, payload_col, unsigned)
     hit = _VIEW_CACHE.get(key)
     if hit is not None:
         return hit
@@ -1117,7 +1117,7 @@ def dedup_lines(
 
     def _eligible(lines: pa.Array) -> np.ndarray:
         return np.asarray(
-            pc.greater_equal(pc.binary_length(lines), min_len).to_numpy(
+            pc.greater_equal(pc.utf8_length(lines), min_len).to_numpy(
                 zero_copy_only=False
             )
         )

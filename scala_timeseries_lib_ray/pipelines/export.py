@@ -131,10 +131,17 @@ def export_corpus(
             "written_at": time.time(),
             "skipped": False,
         }
-        dst = _bucket_dir(out_dir, b)
-        os.makedirs(dst, exist_ok=True)
-        with open(os.path.join(dst, MANIFEST), "w") as f:
+        # stage + rename, same atomicity contract as data buckets: a crash
+        # mid-write must never leave a truncated MANIFEST.json in the final
+        # bucket dir (finished_buckets would count it done, json.load crashes)
+        src = os.path.join(staging, f"empty_bucket={b}")
+        os.makedirs(src, exist_ok=True)
+        with open(os.path.join(src, MANIFEST), "w") as f:
             json.dump(manifest, f, indent=1)
+        dst = _bucket_dir(out_dir, b)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        os.rename(src, dst)
         manifests[b] = manifest
     shutil.rmtree(staging, ignore_errors=True)
     return manifests

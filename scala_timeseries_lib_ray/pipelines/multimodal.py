@@ -115,6 +115,11 @@ def decode_ppm(payload: "bytes | memoryview") -> np.ndarray:
         start = pos
         while pos < n and not head[pos : pos + 1].isspace():
             pos += 1
+        if pos == n and len(payload) > n:
+            # field digits straddle the header cap: the terminating whitespace
+            # was never seen, so int(head[start:pos]) would silently parse a
+            # truncated prefix (e.g. width '1024' read as '10')
+            raise ValueError(f"PPM header exceeds {_PPM_HEADER_MAX} bytes")
         fields.append(int(head[start:pos]))
     if len(fields) != 3:
         raise ValueError(

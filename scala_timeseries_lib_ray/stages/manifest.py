@@ -29,10 +29,17 @@ from ..functions.stats import UniformReservoir
 MANIFEST = "MANIFEST.json"
 
 
+CHECKSUM_VERSION = 2
+
+
 def _checksum(t: pa.Table) -> str:
-    """Order-insensitive content checksum: sum of row-wise md5-derived uint64s.
-    Vectorized — columns cast to string, rows joined with a \\x1f separator,
-    one md5 sweep (no Python row loop)."""
+    """Order-insensitive content checksum (format v2): each column is md5-hashed
+    to uint64 independently, combined per row with a distinct odd multiplier per
+    (name-sorted) column position, and the row hashes are summed. No separator
+    join, so adjacent values that shift content across a separator (e.g.
+    ('a\\x1f','b') vs ('a','\\x1fb')) cannot collide. v2 is NOT comparable to
+    the v1 joined-string format — manifests record ``checksum_version`` so old
+    manifests are never re-verified against the wrong algorithm."""
     import pyarrow.compute as pc
 
     from ..pipelines.dataprep import md5_u64_strings
@@ -40,14 +47,14 @@ def _checksum(t: pa.Table) -> str:
     cols = sorted(t.column_names)
     if not cols or not len(t):
         return f"{0:016x}"
-    enc = [
-        pc.fill_null(pc.cast(t.column(c), pa.string()), "\x00null") for c in cols
-    ]
-    rows = enc[0] if len(enc) == 1 else pc.binary_join_element_wise(*enc, "\x1f")
-    if isinstance(rows, pa.ChunkedArray):
-        rows = rows.combine_chunks()
-    h = md5_u64_strings(rows)
-    return f"{int(h.sum(dtype=np.uint64)):016x}"
+    total = np.zeros(len(t), dtype=np.uint64)
+    golden = np.uint64(0x9E3779B97F4A7C15)  # odd; odd*odd stays odd (invertible mod 2^64)
+    for i, c in enumerate(cols):
+        enc = pc.fill_null(pc.cast(t.column(c), pa.string()), "\x00null")
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        total += md5_u64_strings(enc) * (np.uint64(2 * i + 1) * golden)
+    return f"{int(total.sum(dtype=np.uint64)):016x}"
 
 
 def write_unit(
@@ -117,6 +124,7 @@ def write_unit(
         "min_ts": bmin,
         "max_ts": bmax,
         "value_checksum": _checksum(t) if t is not None and len(t) else None,
+        "checksum_version": CHECKSUM_VERSION,
         "stats": res.snapshot().as_dict(),
         "lineage": lineage or [],
         "written_at": time.time(),

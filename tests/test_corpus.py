@@ -465,6 +465,10 @@ def test_dedup_lines_matches_bruteforce(ray_session):
         (3, "singleton line long enough\n\ntrailing empty kept\n"),
         (4, "short\nshort\nshort"),  # below min_len: never deduped
         (5, "unique gamma content doc five"),
+        # 5 CHARS but 10 utf-8 BYTES: ineligible under the documented char
+        # semantics (ADVICE r04 — binary_length would have deduped it)
+        (6, "ééééé\nunique delta content doc six"),
+        (7, "ééééé\nunique epsilon content doc seven"),
     ]
     t = pa.table(
         {
@@ -487,6 +491,7 @@ def test_dedup_lines_matches_bruteforce(ray_session):
     assert byid.loc[2, "n_dropped"] == 2  # within-doc repeats both lose to doc 0
     assert byid.loc[4, "n_dropped"] == 0  # short lines ineligible
     assert byid.loc[3, "text"] == rows[3][1]  # empty/trailing lines loss-free
+    assert byid.loc[7, "n_dropped"] == 0  # 5-char/10-byte line: char semantics
 
 
 def test_dedup_lines_fuzz_vs_bruteforce(ray_session):

@@ -446,6 +446,44 @@ def test_decode_ppm_real_format():
         decode_ppm(b"P5\n2 2\n255\n" + b"\x00" * 4)
 
 
+def test_decode_ppm_header_straddles_cap_raises():
+    """A numeric header field whose digits straddle _PPM_HEADER_MAX must raise,
+    not silently parse the truncated digit prefix as the dimension (ADVICE r04:
+    width '1024' cut at the cap would read as '10')."""
+    import pytest
+
+    from scala_timeseries_lib_ray.pipelines.multimodal import (
+        _PPM_HEADER_MAX,
+        decode_ppm,
+    )
+
+    # pad with a comment so the width field starts 2 bytes before the cap:
+    # only '10' of '1024' is visible inside the capped header copy
+    pad = _PPM_HEADER_MAX - len(b"P6\n#") - 1 - 2
+    payload = b"P6\n#" + b"x" * pad + b"\n" + b"1024 4 255\n" + b"\x00" * (1024 * 4 * 3)
+    assert len(payload) > _PPM_HEADER_MAX
+    with pytest.raises(ValueError, match="header exceeds"):
+        decode_ppm(payload)
+
+
+def test_manifest_checksum_separator_shift_no_collision():
+    """v2 checksum hashes columns independently: adjacent values shifting
+    content across what used to be the join separator must produce different
+    checksums (ADVICE r04: ('a\\x1f','b') vs ('a','\\x1fb') collided in v1)."""
+    from scala_timeseries_lib_ray.stages.manifest import _checksum
+
+    t1 = pa.table({"x": ["a\x1f"], "y": ["b"]})
+    t2 = pa.table({"x": ["a"], "y": ["\x1fb"]})
+    assert _checksum(t1) != _checksum(t2)
+    # swapped values across columns must also differ (per-column multipliers)
+    t3 = pa.table({"x": ["b"], "y": ["a\x1f"]})
+    assert _checksum(t1) != _checksum(t3)
+    # order-insensitivity across rows is preserved
+    t4 = pa.table({"x": ["p", "q"], "y": ["1", "2"]})
+    t5 = pa.table({"x": ["q", "p"], "y": ["2", "1"]})
+    assert _checksum(t4) == _checksum(t5)
+
+
 def test_contamination_counts_planted(ray_session):
     """Planted eval overlap: docs copying eval text are flagged with the exact
     shared-shingle count; clean docs are absent."""
