@@ -163,10 +163,31 @@ def _md5_u64_vec_short(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     W = M.view(np.uint32)  # (n, 16); little-endian platform (x86/arm64)
     W[:, 14] = (lens * 8).astype(np.uint32)  # bit length < 2^9, high word stays 0
     W = np.ascontiguousarray(W.T)  # (16, n): each round reads one contiguous row
-    a = np.full(n, 0x67452301, np.uint32)
-    b = np.full(n, 0xEFCDAB89, np.uint32)
-    c = np.full(n, 0x98BADCFE, np.uint32)
-    d = np.full(n, 0x10325476, np.uint32)
+    _, _, c, d = _md5_rounds(
+        W,
+        np.full(n, _MD5_IV[0], np.uint32),
+        np.full(n, _MD5_IV[1], np.uint32),
+        np.full(n, _MD5_IV[2], np.uint32),
+        np.full(n, _MD5_IV[3], np.uint32),
+    )
+    with np.errstate(over="ignore"):
+        c = c + np.uint32(_MD5_IV[2])
+        d = d + np.uint32(_MD5_IV[3])
+    return c.astype(np.uint64) | (d.astype(np.uint64) << np.uint64(32))
+
+
+_MD5_IV = (0x67452301, 0xEFCDAB89, 0x98BADCFE, 0x10325476)
+
+
+def _md5_rounds(
+    W: np.ndarray, a: np.ndarray, b: np.ndarray, c: np.ndarray, d: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """The 64 MD5 rounds over a (16, k) uint32 message schedule from state
+    (a, b, c, d), vectorized across the k messages. Inputs are copied; returns
+    the post-round state WITHOUT the feed-forward add (callers add the
+    previous-block state / IV per RFC 1321)."""
+    a, b, c, d = a.copy(), b.copy(), c.copy(), d.copy()
+    n = len(a)
     f = np.empty(n, np.uint32)
     t = np.empty(n, np.uint32)
     x = np.empty(n, np.uint32)
@@ -202,9 +223,7 @@ def _md5_u64_vec_short(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
             np.bitwise_or(t, x, out=x)
             np.add(b, x, out=a)  # old a's buffer is free post-rotation: it holds new B
             a, b, c, d = d, a, b, c
-        c = c + np.uint32(0x98BADCFE)
-        d = d + np.uint32(0x10325476)
-    return c.astype(np.uint64) | (d.astype(np.uint64) << np.uint64(32))
+    return a, b, c, d
 
 
 def _string_array_bytes(sa: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -221,10 +240,150 @@ def _string_array_bytes(sa: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return data, offs.astype(np.int64)
 
 
+# multi-block vectorization cutoff: beyond this many bytes, OpenSSL's per-call
+# C throughput beats the gather-heavy numpy block path (per-call overhead
+# ~1-2 us amortizes away around a couple of KB)
+_MD5_LONG_MAX = 4096
+_MD5_BATCH_PAD_BYTES = 8 << 20  # padded working set per vectorized sub-batch
+
+
+def _md5_digest_multiblock(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Full 16-byte MD5 digests of N variable-length messages (flat uint8
+    buffer + (N+1) offsets), RFC 1321 vectorized across the batch for ANY
+    length. Messages are padded into one flat buffer; blocks run longest-first
+    over a length-sorted order so block j touches a contiguous shrinking
+    prefix of the state arrays. Bit-identical to hashlib.md5 (fuzz-pinned).
+    Returns (N, 16) uint8."""
+    offsets = np.asarray(offsets, np.int64)
+    lens = np.diff(offsets)
+    n = len(lens)
+    out = np.empty((n, 16), np.uint8)
+    if n == 0:
+        return out
+    nblocks = (lens + 9 + 63) // 64
+    # sub-batch by padded bytes to bound the gather/scatter working set
+    cum_pad = np.cumsum(nblocks * 64)
+    lo = 0
+    while lo < n:
+        base_pad = cum_pad[lo - 1] if lo else 0
+        hi = int(np.searchsorted(cum_pad, base_pad + _MD5_BATCH_PAD_BYTES)) + 1
+        hi = min(max(hi, lo + 1), n)
+        _md5_digest_chunk(
+            data, offsets[lo : hi + 1], lens[lo:hi], nblocks[lo:hi], out[lo:hi]
+        )
+        lo = hi
+    return out
+
+
+def _md5_digest_chunk(
+    data: np.ndarray,
+    offs: np.ndarray,
+    lens: np.ndarray,
+    nblocks: np.ndarray,
+    out: np.ndarray,
+) -> None:
+    k = len(lens)
+    poffs = np.concatenate([[0], np.cumsum(nblocks * 64)]).astype(np.int64)
+    P = np.zeros(int(poffs[-1]), np.uint8)
+    total = int(offs[-1] - offs[0])
+    if total:
+        tgt = np.repeat(poffs[:-1], lens) + (
+            np.arange(total, dtype=np.int64) - np.repeat(offs[:-1] - offs[0], lens)
+        )
+        P[tgt] = data[offs[0] : offs[-1]]
+    P[poffs[:-1] + lens] = 0x80
+    # 64-bit little-endian bit length in the final 8 bytes of each padded msg
+    bitlen = (lens.astype(np.uint64) * np.uint64(8))[:, None].view(np.uint8)
+    tail = (poffs[1:] - 8)[:, None] + np.arange(8)
+    P[tail] = bitlen
+    order = np.argsort(-nblocks, kind="stable")
+    sorted_nb = nblocks[order]
+    a = np.full(k, _MD5_IV[0], np.uint32)
+    b = np.full(k, _MD5_IV[1], np.uint32)
+    c = np.full(k, _MD5_IV[2], np.uint32)
+    d = np.full(k, _MD5_IV[3], np.uint32)
+    col = np.arange(64, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for j in range(int(sorted_nb[0])):
+            live = int(np.searchsorted(-sorted_nb, -j, side="left"))  # nb > j
+            rows = order[:live]
+            Wb = P[(poffs[rows] + 64 * j)[:, None] + col]  # (live, 64) gather
+            W = np.ascontiguousarray(Wb.view(np.uint32).T)
+            ra, rb, rc, rd = _md5_rounds(W, a[:live], b[:live], c[:live], d[:live])
+            a[:live] += ra
+            b[:live] += rb
+            c[:live] += rc
+            d[:live] += rd
+    dig = np.empty((k, 16), np.uint8)
+    dig[:, 0:4] = a[:, None].view(np.uint8)
+    dig[:, 4:8] = b[:, None].view(np.uint8)
+    dig[:, 8:12] = c[:, None].view(np.uint8)
+    dig[:, 12:16] = d[:, None].view(np.uint8)
+    out[order] = dig
+
+
+def md5_digest_bytes(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """(N, 16) uint8 MD5 digests of N messages in a flat uint8 buffer:
+    vectorized numpy MD5 up to _MD5_LONG_MAX bytes per message, hashlib for
+    the (rare at corpus scale) longer tail — C throughput wins there."""
+    offsets = np.asarray(offsets, np.int64)
+    lens = np.diff(offsets)
+    n = len(lens)
+    vec = lens <= _MD5_LONG_MAX
+    if vec.all():
+        return _md5_digest_multiblock(data, offsets)
+    out = np.empty((n, 16), np.uint8)
+    # compact the vectorizable messages into one contiguous buffer
+    seg = data[offsets[0] : offsets[-1]]
+    bytemask = vec[np.repeat(np.arange(n), lens)]
+    vdata = seg[bytemask]
+    voffs = np.concatenate([[0], np.cumsum(lens[vec])])
+    out[vec] = _md5_digest_multiblock(vdata, voffs)
+    md5 = hashlib.md5
+    for i in np.flatnonzero(~vec):
+        out[i] = np.frombuffer(md5(data[offsets[i] : offsets[i + 1]].tobytes()).digest(), np.uint8)
+    return out
+
+
+def md5_digest_strings(sa: pa.Array) -> np.ndarray:
+    """(N, 16) uint8 MD5 digests of a pyarrow string array, zero-copy from the
+    Arrow buffers — no to_pylist, no per-row .encode()."""
+    if isinstance(sa, pa.ChunkedArray):
+        sa = sa.combine_chunks()
+    data, offs = _string_array_bytes(sa)
+    return md5_digest_bytes(data, offs)
+
+
+_HEX_LUT = np.frombuffer(b"0123456789abcdef", np.uint8)
+
+
+def md5_hex_strings(sa: pa.Array) -> pa.Array:
+    """Vectorized ``md5(s).hexdigest()`` over a pyarrow string array, returned
+    as a pyarrow string array built directly from the hex char buffer —
+    replaces the per-row hashlib + hexdigest loop on the full-doc dedup /
+    fingerprint paths (VERDICT r04 #6)."""
+    dig = md5_digest_strings(sa)
+    return hex_strings_from_digests(dig)
+
+
+def hex_strings_from_digests(dig: np.ndarray) -> pa.Array:
+    """(N, 16) uint8 digests -> pyarrow string array of 32-char lowercase hex."""
+    n = len(dig)
+    chars = np.empty((n, 32), np.uint8)
+    chars[:, 0::2] = _HEX_LUT[dig >> 4]
+    chars[:, 1::2] = _HEX_LUT[dig & 0x0F]
+    return pa.StringArray.from_buffers(
+        n,
+        pa.py_buffer(np.arange(0, 32 * (n + 1), 32, dtype=np.int32).tobytes()),
+        pa.py_buffer(chars.tobytes()),
+    )
+
+
 def md5_u64_strings(sa: pa.Array) -> np.ndarray:
     """md5_u64 over a pyarrow string array: vectorized single-block MD5 for
-    messages <= 55 bytes, hashlib fallback for the rest. Value-identical to
-    ``md5_u64(sa.to_pylist())`` without materializing Python strings."""
+    messages <= 55 bytes, vectorized multi-block MD5 to _MD5_LONG_MAX, hashlib
+    beyond. Value-identical to ``md5_u64(sa.to_pylist())`` without
+    materializing Python strings."""
     if isinstance(sa, pa.ChunkedArray):
         sa = sa.combine_chunks()
     data, offs = _string_array_bytes(sa)
@@ -241,11 +400,12 @@ def md5_u64_strings(sa: pa.Array) -> np.ndarray:
     soffs = np.concatenate([[0], np.cumsum(lens[short])])
     out[short] = _md5_u64_vec_short(sdata, soffs)
     long_pos = np.flatnonzero(~short)
-    md5 = hashlib.md5
-    fb = int.from_bytes
-    for i in long_pos:
-        msg = data[offs[i] : offs[i + 1]].tobytes()
-        out[i] = fb(md5(msg).digest()[8:], "little")
+    # multi-block vectorized path for the mid-length tail (uint64 = digest
+    # bytes 8..16 little-endian, the md5_number_lower convention)
+    ldata = seg[~bytemask]
+    loffs = np.concatenate([[0], np.cumsum(lens[long_pos])])
+    dig = md5_digest_bytes(ldata, loffs)
+    out[long_pos] = dig[:, 8:16].copy().view(np.uint64)[:, 0]
     return out
 
 
@@ -274,13 +434,12 @@ def fingerprint_batch(t: pa.Table) -> pa.Table:
     polynomial rolling hash of the utf-8 bytes mod 2^31-1, computed as a chunked
     Horner scan: the byte matrix advances 64 columns per numpy step, so the cost
     is O(maxlen/64) vectorized ops per batch instead of a per-byte Python loop."""
-    texts = t.column("text").to_pylist()
-    md5s = [hashlib.md5(s.encode()).hexdigest() for s in texts]
-    rolls = _rolling_hash_batch([s.encode() for s in texts])
+    md5s = md5_hex_strings(t.column("text"))
+    rolls = _rolling_hash_batch([s.encode() for s in t.column("text").to_pylist()])
     return pa.table(
         {
             "doc_id": t.column("doc_id"),
-            "md5": pa.array(md5s),
+            "md5": md5s,
             "rolling": pa.array(rolls.astype(np.int64)),
         }
     )
@@ -325,6 +484,25 @@ def _rolling_hash_batch(bufs: list[bytes]) -> np.ndarray:
 
 N_DEDUP_PARTS = 64  # bounded exchange-key cardinality for the content-hash dedups
 
+# per-part-task exchange working-set target for auto-sized hash partitions:
+# one part's rows (keys + payloads) should land near this many bytes so the
+# per-part map_groups task neither OOMs at 100 TB nor fragments at test scale
+TARGET_PART_BYTES = 256 << 20
+
+
+def size_parts(
+    rows: int,
+    bytes_per_row: int = 24,
+    target_part_bytes: int = TARGET_PART_BYTES,
+    floor: int = 64,
+) -> int:
+    """Power-of-two hash-partition count sized from a MEASURED exchange row
+    count: ``ceil(rows * bytes_per_row / target_part_bytes)``, floored at 64
+    (VERDICT r04 #2 — a fixed n_parts=64 leaves multi-TB per-part groups at
+    100 TB; the floor keeps test-scale runs at the measured-optimal 64)."""
+    need = max(int(floor), -(-int(rows) * int(bytes_per_row) // int(target_part_bytes)))
+    return 1 << (need - 1).bit_length()
+
 
 def _hash_part(hexes: list[str]) -> pa.Array:
     """Uniform int32 partition key from the first two hex digits of the content
@@ -336,6 +514,13 @@ def _hash_part(hexes: list[str]) -> pa.Array:
     )
 
 
+def _hash_part_digests(dig: np.ndarray) -> pa.Array:
+    """:func:`_hash_part` computed straight from (N, 16) uint8 digests — the
+    first digest byte IS the first two hex digits, so this is value-identical
+    to ``_hash_part([hexdigest...])`` with no Python loop."""
+    return pa.array((dig[:, 0] % N_DEDUP_PARTS).astype(np.int32))
+
+
 def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Exact dedup by content hash: hash in a vectorized map_batches, keep the min
     doc_id per hash. The exchange is keyed by a 64-value partition of the hash
@@ -345,10 +530,13 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
     batches."""
 
     def add_hash(t: pa.Table) -> pa.Table:
-        lows = pc.utf8_lower(t.column("text")).to_pylist()
-        h = [hashlib.md5(s.encode()).hexdigest() for s in lows]
+        dig = md5_digest_strings(pc.utf8_lower(t.column("text")))
         return pa.table(
-            {"doc_id": t.column("doc_id"), "text_hash": pa.array(h), "part": _hash_part(h)}
+            {
+                "doc_id": t.column("doc_id"),
+                "text_hash": hex_strings_from_digests(dig),
+                "part": _hash_part_digests(dig),
+            }
         )
 
     def per_part(t: pa.Table) -> pa.Table:
@@ -1036,12 +1224,11 @@ def clean_corpus(
     filtered = quality_decon_filter(docs, ref, eval_max_id, min_tokens, min_alpha, min_overlap)
 
     def add_hash(t: pa.Table) -> pa.Table:
-        lows = pc.utf8_lower(t.column("text")).to_pylist()
-        h = [hashlib.md5(s.encode()).hexdigest() for s in lows]
+        dig = md5_digest_strings(pc.utf8_lower(t.column("text")))
         return (
             t.drop_columns(["text"])
-            .append_column("text_hash", pa.array(h, pa.string()))
-            .append_column("part", _hash_part(h))
+            .append_column("text_hash", hex_strings_from_digests(dig))
+            .append_column("part", _hash_part_digests(dig))
         )
 
     def per_part(t: pa.Table) -> pa.Table:
@@ -1998,15 +2185,14 @@ def sequence_dedup(tokens: ray.data.Dataset) -> ray.data.Dataset:
             np.asarray(col.values.to_numpy(zero_copy_only=False), np.int32)
         )
         offs = np.asarray(col.offsets.to_numpy(zero_copy_only=False), np.int64)
-        md5 = hashlib.md5
-        hexes = [
-            md5(vals[offs[i] : offs[i + 1]].tobytes()).hexdigest() for i in range(len(col))
-        ]
+        # md5 over the raw little-endian int32 payload: byte offsets are the
+        # list offsets * 4, hashed by the vectorized multi-block kernel
+        dig = md5_digest_bytes(vals.view(np.uint8), offs * 4)
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
-                "seq_hash": pa.array(hexes),
-                "part": _hash_part(hexes),
+                "seq_hash": hex_strings_from_digests(dig),
+                "part": _hash_part_digests(dig),
             }
         )
 

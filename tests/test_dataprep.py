@@ -712,3 +712,84 @@ def test_sequence_dedup_planted(ray_session):
     out = sequence_dedup(ray.data.from_arrow(t).repartition(3)).to_pandas()
     got = dict(zip(out["keep_doc_id"], out["n_copies"]))
     assert got == {"a-1": 3, "b-1": 1, "b-2": 1, "d-1": 2}
+
+
+def test_md5_multiblock_parity_with_hashlib():
+    """The multi-block vectorized MD5 (digests + hex + u64) is bit-identical to
+    hashlib across every block-boundary regime: 55/56 (single-block pad), 64,
+    119/120 (two-block pad), the _MD5_LONG_MAX hashlib cutover, unicode, and a
+    random length fuzz — this kernel now feeds exact_dedup / clean_corpus /
+    sequence_dedup / fingerprint hashes (VERDICT r04 #6)."""
+    import hashlib
+    import random
+
+    from scala_timeseries_lib_ray.pipelines.dataprep import (
+        _MD5_LONG_MAX,
+        md5_digest_bytes,
+        md5_hex_strings,
+        md5_u64,
+        md5_u64_strings,
+    )
+
+    rng = random.Random(29)
+    lens = [0, 1, 54, 55, 56, 63, 64, 65, 119, 120, 121, 128,
+            _MD5_LONG_MAX - 1, _MD5_LONG_MAX, _MD5_LONG_MAX + 1, 3 * _MD5_LONG_MAX]
+    lens += [rng.randrange(0, 2 * _MD5_LONG_MAX) for _ in range(120)]
+    strs = ["".join(rng.choice("abcXYZ019 é中\t") for _ in range(n))[:n] for n in lens]
+    sa = pa.array(strs)
+    assert md5_hex_strings(sa).to_pylist() == [
+        hashlib.md5(s.encode()).hexdigest() for s in strs
+    ]
+    assert (md5_u64_strings(sa) == np.asarray(md5_u64(strs), np.uint64)).all()
+    # raw-bytes entry point, including a non-zero base offset (sliced buffer)
+    bufs = [bytes(rng.randrange(256) for _ in range(rng.randrange(0, 400))) for _ in range(80)]
+    flat = np.frombuffer(b"".join(bufs), np.uint8)
+    offs = np.concatenate([[0], np.cumsum([len(b) for b in bufs])]).astype(np.int64)
+    dig = md5_digest_bytes(flat, offs)
+    for i, b in enumerate(bufs):
+        assert dig[i].tobytes() == hashlib.md5(b).digest(), i
+    dig_off = md5_digest_bytes(flat, offs[5:])
+    assert dig_off[0].tobytes() == hashlib.md5(bufs[5]).digest()
+
+
+def test_size_parts_grows_with_input():
+    """Auto-sized hash-partition count: power of two, floored at 64 at test
+    scale, and growing linearly (in the ceil sense) with the measured exchange
+    rows so no per-part group exceeds the byte target (VERDICT r04 #2)."""
+    from scala_timeseries_lib_ray.pipelines.dataprep import TARGET_PART_BYTES, size_parts
+
+    assert size_parts(0) == 64
+    assert size_parts(10**6) == 64
+    big = size_parts(10**12)
+    assert big > 64 and big & (big - 1) == 0
+    # each part stays under the byte target (within the power-of-two rounding)
+    rows = 7 * 10**10
+    n = size_parts(rows, bytes_per_row=24)
+    assert rows * 24 / n <= TARGET_PART_BYTES
+    assert size_parts(2 * rows) >= n
+
+
+def test_auto_parted_partials_sizes_and_keys(ray_session):
+    """_auto_parted_partials('auto') resolves a power-of-two n_parts from the
+    measured partial rows and appends part = h & (n_parts-1); explicit ints
+    pass through unchanged; non-power-of-two rejected."""
+    import pytest
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.corpus import _auto_parted_partials
+
+    h = np.arange(1000, dtype=np.int64) * 2654435761
+    ds = ray.data.from_arrow(
+        pa.table({"h": pa.array(h), "cnt": pa.array(np.ones(1000, np.int64))})
+    )
+    parted, n = _auto_parted_partials(ds, "auto")
+    assert n == 64
+    out = parted.to_pandas()
+    assert (out["part"].to_numpy() == (h.view(np.uint64) & np.uint64(63)).astype(np.int32)).all()
+    # auto sizing grows when the target shrinks far below rows*bytes
+    _, n_big = _auto_parted_partials(ds, "auto", bytes_per_row=2**25)
+    assert n_big > 64 and n_big & (n_big - 1) == 0
+    _, n_exp = _auto_parted_partials(ds, 128)
+    assert n_exp == 128
+    with pytest.raises(ValueError):
+        _auto_parted_partials(ds, 96)
