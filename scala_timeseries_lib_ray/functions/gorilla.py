@@ -265,7 +265,7 @@ def decompress_payloads(data: bytes) -> tuple[np.ndarray, np.ndarray]:
     nbits_total = len(data) * 8
     if len(data) < 8:
         raise ValueError("The passed byte array is not a valid compressed timeseries.")
-    pad = data + b"\x00" * 24
+    pad = bytes(data) + b"\x00" * 24  # bytes() is a no-op for bytes, one copy for memoryview
     words = np.frombuffer(pad[: (len(pad) // 8) * 8], dtype=">u8").tolist()
 
     def peek(pos: int, k: int) -> int:

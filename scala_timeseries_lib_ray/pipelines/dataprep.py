@@ -482,8 +482,6 @@ def _rolling_hash_batch(bufs: list[bytes]) -> np.ndarray:
 # ------------------------------------------------------------------------ dedup: exact
 
 
-N_DEDUP_PARTS = 64  # bounded exchange-key cardinality for the content-hash dedups
-
 # per-part-task exchange working-set target for auto-sized hash partitions:
 # one part's rows (keys + payloads) should land near this many bytes so the
 # per-part map_groups task neither OOMs at 100 TB nor fragments at test scale
@@ -504,29 +502,67 @@ def size_parts(
     return 1 << (need - 1).bit_length()
 
 
-def _hash_part(hexes: list[str]) -> pa.Array:
-    """Uniform int32 partition key from the first two hex digits of the content
-    hash — every row of a hash lands in one partition, and the exchange sorts a
-    64-value key instead of the unbounded distinct-hash space (a 70M-distinct-key
-    sort measured 285 s on this host vs ~20 s part-keyed, see duplicate_ngrams)."""
-    return pa.array(
-        np.fromiter((int(h[:2], 16) % N_DEDUP_PARTS for h in hexes), np.int32, len(hexes))
-    )
+_HEXVAL = np.zeros(256, np.uint32)
+for _i, _ch in enumerate(b"0123456789abcdef"):
+    _HEXVAL[_ch] = _i
+_HEX_SHIFTS = np.arange(28, -1, -4, dtype=np.uint32)  # 8 hex chars -> 32 bits
 
 
-def _hash_part_digests(dig: np.ndarray) -> pa.Array:
-    """:func:`_hash_part` computed straight from (N, 16) uint8 digests — the
-    first digest byte IS the first two hex digits, so this is value-identical
-    to ``_hash_part([hexdigest...])`` with no Python loop."""
-    return pa.array((dig[:, 0] % N_DEDUP_PARTS).astype(np.int32))
+def _part_from_hexes(sa: pa.Array, n_parts: int) -> pa.Array:
+    """int32 partition key from the first 8 hex chars of a hex-digest string
+    column — value-identical to ``int(h[:8], 16) & (n_parts - 1)`` with no
+    Python loop (reads the Arrow char buffer directly). 32 bits of hash keys
+    up to 2^32 partitions."""
+    if isinstance(sa, pa.ChunkedArray):
+        sa = sa.combine_chunks()
+    if len(sa) == 0:
+        return pa.array([], pa.int32())
+    data, offs = _string_array_bytes(sa)
+    digits = _HEXVAL[data[offs[:-1, None] + np.arange(8)]]
+    v = (digits << _HEX_SHIFTS).sum(axis=1, dtype=np.uint64)
+    return pa.array((v & np.uint64(n_parts - 1)).astype(np.int32))
 
 
-def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
+def _auto_parted_hashed(
+    hashed: ray.data.Dataset,
+    hash_col: str,
+    n_parts: "int | str",
+    bytes_per_row: int = 56,
+) -> "tuple[ray.data.Dataset, int]":
+    """Append the exchange partition key to a content-hashed dedup stream.
+
+    ``n_parts="auto"`` (the default) materializes the hashed rows — they ARE
+    the groupby exchange payload, and the sort barrier right after holds all
+    of them regardless, so this adds no asymptotic memory and no extra corpus
+    scan (the text is already dropped) — and sizes a power-of-two part count
+    from the MEASURED row count via :func:`size_parts` (VERDICT r04 #2: a
+    fixed 64 leaves multi-TB per-part groups at 100 TB). An explicit int keeps
+    the fully streaming single-pass plan; the part map_batches fuses with the
+    hash stage."""
+    if n_parts == "auto":
+        hashed = hashed.materialize()
+        n_parts = size_parts(hashed.count(), bytes_per_row=bytes_per_row)
+    elif (
+        not isinstance(n_parts, int)
+        or n_parts <= 0
+        or n_parts & (n_parts - 1)
+        or n_parts > (1 << 32)
+    ):
+        raise ValueError(f"n_parts must be a power of two <= 2^32 or 'auto', got {n_parts}")
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column("part", _part_from_hexes(t.column(hash_col), n_parts))
+
+    return hashed.map_batches(add_part, batch_format="pyarrow"), n_parts
+
+
+def exact_dedup(docs: ray.data.Dataset, n_parts: "int | str" = "auto") -> ray.data.Dataset:
     """Exact dedup by content hash: hash in a vectorized map_batches, keep the min
-    doc_id per hash. The exchange is keyed by a 64-value partition of the hash
-    space (not the unbounded hash itself — see :func:`_hash_part`); each
-    partition aggregates per hash in Arrow's C++ hash aggregation. The md5 call
-    per document IS the kernel here; it is embarrassingly parallel across
+    doc_id per hash. The exchange is keyed by a bounded partition of the hash
+    space (not the unbounded hash itself — see :func:`_part_from_hexes`), sized
+    from the measured corpus (:func:`_auto_parted_hashed`); each partition
+    aggregates per hash in Arrow's C++ hash aggregation. The md5 call per
+    document IS the kernel here; it is embarrassingly parallel across
     batches."""
 
     def add_hash(t: pa.Table) -> pa.Table:
@@ -535,7 +571,6 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
             {
                 "doc_id": t.column("doc_id"),
                 "text_hash": hex_strings_from_digests(dig),
-                "part": _hash_part_digests(dig),
             }
         )
 
@@ -545,7 +580,9 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
             ["text_hash", "keep_doc_id", "n_copies"]
         )
 
-    hashed = docs.map_batches(add_hash, batch_format="pyarrow")
+    hashed, _ = _auto_parted_hashed(
+        docs.map_batches(add_hash, batch_format="pyarrow"), "text_hash", n_parts
+    )
     return hashed.groupby("part").map_groups(
         lambda t: per_part(t.drop_columns(["part"])), batch_format="pyarrow"
     )
@@ -1201,6 +1238,7 @@ def clean_corpus(
     min_alpha: float = 0.815,
     min_overlap: int = 8,
     max_contaminated: int = 2_000_000,
+    n_parts: "int | str" = "auto",
 ) -> ray.data.Dataset:
     """The end-to-end corpus cleaning composite a training export runs:
     quality filter -> eval decontamination -> exact dedup, in ONE streaming
@@ -1225,15 +1263,13 @@ def clean_corpus(
 
     def add_hash(t: pa.Table) -> pa.Table:
         dig = md5_digest_strings(pc.utf8_lower(t.column("text")))
-        return (
-            t.drop_columns(["text"])
-            .append_column("text_hash", hex_strings_from_digests(dig))
-            .append_column("part", _hash_part_digests(dig))
+        return t.drop_columns(["text"]).append_column(
+            "text_hash", hex_strings_from_digests(dig)
         )
 
     def per_part(t: pa.Table) -> pa.Table:
         # bounded-key exchange + per-partition Arrow hash aggregation (the
-        # unbounded text_hash never keys a sort — see _hash_part)
+        # unbounded text_hash never keys a sort — see _part_from_hexes)
         g = t.group_by(["text_hash"]).aggregate(
             [("doc_id", "min"), ("n_tokens", "min"), ("alpha_ratio", "min")]
         )
@@ -1241,10 +1277,14 @@ def clean_corpus(
             ["doc_id", "n_tokens", "alpha_ratio"]
         )
 
-    return (
-        filtered.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(lambda t: per_part(t.drop_columns(["part"])), batch_format="pyarrow")
+    hashed, _ = _auto_parted_hashed(
+        filtered.map_batches(add_hash, batch_format="pyarrow"),
+        "text_hash",
+        n_parts,
+        bytes_per_row=72,
+    )
+    return hashed.groupby("part").map_groups(
+        lambda t: per_part(t.drop_columns(["part"])), batch_format="pyarrow"
     )
 
 
@@ -2166,15 +2206,15 @@ def dedup_survivors(
     return docs.map_batches(keep, batch_format="pyarrow")
 
 
-def sequence_dedup(tokens: ray.data.Dataset) -> ray.data.Dataset:
+def sequence_dedup(tokens: ray.data.Dataset, n_parts: "int | str" = "auto") -> ray.data.Dataset:
     """Exact dedup of PRE-TOKENIZED sequences by token-array content — the
     token-level twin of :func:`exact_dedup` for pipelines whose corpus is
     already `(doc_id, tokens:list<int32>)` rather than raw text. The content
     key is md5 over the raw little-endian int32 payload, read zero-copy from
     the Arrow list buffers (fixed-width elements make byte-equality ==
-    array-equality, length included); the exchange shuffles on the 64-value
-    hash partition (:func:`_hash_part`) and each partition keeps the min
-    doc_id + copy count per content hash in Arrow's hash aggregation.
+    array-equality, length included); the exchange shuffles on the auto-sized
+    hash partition (:func:`_auto_parted_hashed`) and each partition keeps the
+    min doc_id + copy count per content hash in Arrow's hash aggregation.
     Output: (keep_doc_id, n_copies)."""
 
     def add_hash(t: pa.Table) -> pa.Table:
@@ -2192,7 +2232,6 @@ def sequence_dedup(tokens: ray.data.Dataset) -> ray.data.Dataset:
             {
                 "doc_id": t.column("doc_id"),
                 "seq_hash": hex_strings_from_digests(dig),
-                "part": _hash_part_digests(dig),
             }
         )
 
@@ -2202,7 +2241,9 @@ def sequence_dedup(tokens: ray.data.Dataset) -> ray.data.Dataset:
             ["keep_doc_id", "n_copies"]
         )
 
-    hashed = tokens.map_batches(add_hash, batch_format="pyarrow")
+    hashed, _ = _auto_parted_hashed(
+        tokens.map_batches(add_hash, batch_format="pyarrow"), "seq_hash", n_parts
+    )
     return hashed.groupby("part").map_groups(
         lambda t: per_part(t.drop_columns(["part"])), batch_format="pyarrow"
     )
