@@ -240,109 +240,28 @@ def _string_array_bytes(sa: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return data, offs.astype(np.int64)
 
 
-# multi-block vectorization cutoff: beyond this many bytes, OpenSSL's per-call
-# C throughput beats the gather-heavy numpy block path (per-call overhead
-# ~1-2 us amortizes away around a couple of KB)
-_MD5_LONG_MAX = 4096
-_MD5_BATCH_PAD_BYTES = 8 << 20  # padded working set per vectorized sub-batch
-
-
-def _md5_digest_multiblock(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """Full 16-byte MD5 digests of N variable-length messages (flat uint8
-    buffer + (N+1) offsets), RFC 1321 vectorized across the batch for ANY
-    length. Messages are padded into one flat buffer; blocks run longest-first
-    over a length-sorted order so block j touches a contiguous shrinking
-    prefix of the state arrays. Bit-identical to hashlib.md5 (fuzz-pinned).
-    Returns (N, 16) uint8."""
-    offsets = np.asarray(offsets, np.int64)
-    lens = np.diff(offsets)
-    n = len(lens)
-    out = np.empty((n, 16), np.uint8)
-    if n == 0:
-        return out
-    nblocks = (lens + 9 + 63) // 64
-    # sub-batch by padded bytes to bound the gather/scatter working set
-    cum_pad = np.cumsum(nblocks * 64)
-    lo = 0
-    while lo < n:
-        base_pad = cum_pad[lo - 1] if lo else 0
-        hi = int(np.searchsorted(cum_pad, base_pad + _MD5_BATCH_PAD_BYTES)) + 1
-        hi = min(max(hi, lo + 1), n)
-        _md5_digest_chunk(
-            data, offsets[lo : hi + 1], lens[lo:hi], nblocks[lo:hi], out[lo:hi]
-        )
-        lo = hi
-    return out
-
-
-def _md5_digest_chunk(
-    data: np.ndarray,
-    offs: np.ndarray,
-    lens: np.ndarray,
-    nblocks: np.ndarray,
-    out: np.ndarray,
-) -> None:
-    k = len(lens)
-    poffs = np.concatenate([[0], np.cumsum(nblocks * 64)]).astype(np.int64)
-    P = np.zeros(int(poffs[-1]), np.uint8)
-    total = int(offs[-1] - offs[0])
-    if total:
-        tgt = np.repeat(poffs[:-1], lens) + (
-            np.arange(total, dtype=np.int64) - np.repeat(offs[:-1] - offs[0], lens)
-        )
-        P[tgt] = data[offs[0] : offs[-1]]
-    P[poffs[:-1] + lens] = 0x80
-    # 64-bit little-endian bit length in the final 8 bytes of each padded msg
-    bitlen = (lens.astype(np.uint64) * np.uint64(8))[:, None].view(np.uint8)
-    tail = (poffs[1:] - 8)[:, None] + np.arange(8)
-    P[tail] = bitlen
-    order = np.argsort(-nblocks, kind="stable")
-    sorted_nb = nblocks[order]
-    a = np.full(k, _MD5_IV[0], np.uint32)
-    b = np.full(k, _MD5_IV[1], np.uint32)
-    c = np.full(k, _MD5_IV[2], np.uint32)
-    d = np.full(k, _MD5_IV[3], np.uint32)
-    col = np.arange(64, dtype=np.int64)
-    with np.errstate(over="ignore"):
-        for j in range(int(sorted_nb[0])):
-            live = int(np.searchsorted(-sorted_nb, -j, side="left"))  # nb > j
-            rows = order[:live]
-            Wb = P[(poffs[rows] + 64 * j)[:, None] + col]  # (live, 64) gather
-            W = np.ascontiguousarray(Wb.view(np.uint32).T)
-            ra, rb, rc, rd = _md5_rounds(W, a[:live], b[:live], c[:live], d[:live])
-            a[:live] += ra
-            b[:live] += rb
-            c[:live] += rc
-            d[:live] += rd
-    dig = np.empty((k, 16), np.uint8)
-    dig[:, 0:4] = a[:, None].view(np.uint8)
-    dig[:, 4:8] = b[:, None].view(np.uint8)
-    dig[:, 8:12] = c[:, None].view(np.uint8)
-    dig[:, 12:16] = d[:, None].view(np.uint8)
-    out[order] = dig
-
-
 def md5_digest_bytes(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """(N, 16) uint8 MD5 digests of N messages in a flat uint8 buffer:
-    vectorized numpy MD5 up to _MD5_LONG_MAX bytes per message, hashlib for
-    the (rare at corpus scale) longer tail — C throughput wins there."""
+    """(N, 16) uint8 MD5 digests of N variable-length messages (flat uint8
+    buffer + (N+1) offsets): hashlib over zero-copy memoryview slices, one
+    bytes-join for the output. MEASURED (r5, same-process pairs): a fully
+    vectorized numpy multi-block MD5 (longest-first block loop, padded
+    sub-batches) LOSES to OpenSSL's C kernel at every message length — 0.45x
+    at 15 B, 0.21x at 56 B, 0.10x at 432 B — because the C rounds are
+    register-resident while the lane-parallel numpy rounds stream ~3 GB of
+    state through memory per 200k x 7-block batch. Per-call overhead only
+    dominates within a single block, so vectorization lives exclusively in the
+    <= 55 B u64 path (:func:`_md5_u64_vec_short`). This loop IS the measured
+    optimum for full-document digests (1.6x the old to_pylist/encode/hexdigest
+    form via buffer slices + the vectorized hex writer)."""
     offsets = np.asarray(offsets, np.int64)
-    lens = np.diff(offsets)
-    n = len(lens)
-    vec = lens <= _MD5_LONG_MAX
-    if vec.all():
-        return _md5_digest_multiblock(data, offsets)
-    out = np.empty((n, 16), np.uint8)
-    # compact the vectorizable messages into one contiguous buffer
-    seg = data[offsets[0] : offsets[-1]]
-    bytemask = vec[np.repeat(np.arange(n), lens)]
-    vdata = seg[bytemask]
-    voffs = np.concatenate([[0], np.cumsum(lens[vec])])
-    out[vec] = _md5_digest_multiblock(vdata, voffs)
+    n = len(offsets) - 1
+    if n <= 0:
+        return np.empty((0, 16), np.uint8)
     md5 = hashlib.md5
-    for i in np.flatnonzero(~vec):
-        out[i] = np.frombuffer(md5(data[offsets[i] : offsets[i + 1]].tobytes()).digest(), np.uint8)
-    return out
+    mv = memoryview(data)
+    ol = offsets.tolist()
+    digs = [md5(mv[ol[i] : ol[i + 1]]).digest() for i in range(n)]
+    return np.frombuffer(b"".join(digs), np.uint8).reshape(n, 16)
 
 
 def md5_digest_strings(sa: pa.Array) -> np.ndarray:
@@ -381,8 +300,10 @@ def hex_strings_from_digests(dig: np.ndarray) -> pa.Array:
 
 def md5_u64_strings(sa: pa.Array) -> np.ndarray:
     """md5_u64 over a pyarrow string array: vectorized single-block MD5 for
-    messages <= 55 bytes, vectorized multi-block MD5 to _MD5_LONG_MAX, hashlib
-    beyond. Value-identical to ``md5_u64(sa.to_pylist())`` without
+    messages <= 55 bytes (the regime where per-call overhead dominates —
+    1.5-1.8x hashlib measured), C hashlib via :func:`md5_digest_bytes` beyond
+    (multi-block numpy vectorization measured slower at every length, see that
+    docstring). Value-identical to ``md5_u64(sa.to_pylist())`` without
     materializing Python strings."""
     if isinstance(sa, pa.ChunkedArray):
         sa = sa.combine_chunks()
@@ -400,8 +321,8 @@ def md5_u64_strings(sa: pa.Array) -> np.ndarray:
     soffs = np.concatenate([[0], np.cumsum(lens[short])])
     out[short] = _md5_u64_vec_short(sdata, soffs)
     long_pos = np.flatnonzero(~short)
-    # multi-block vectorized path for the mid-length tail (uint64 = digest
-    # bytes 8..16 little-endian, the md5_number_lower convention)
+    # C hashlib for the tail (uint64 = digest bytes 8..16 little-endian, the
+    # md5_number_lower convention)
     ldata = seg[~bytemask]
     loffs = np.concatenate([[0], np.cumsum(lens[long_pos])])
     dig = md5_digest_bytes(ldata, loffs)
