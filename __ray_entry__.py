@@ -2723,6 +2723,31 @@ def q_doc_top_terms(sf_dir: str):
     return doc_top_terms(_docs_ds(sf_dir), k=3)
 
 
+SQL_TOKEN_RARITY = """
+WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+           FROM documents),
+c AS (SELECT word, COUNT(*)::BIGINT AS c FROM w GROUP BY 1)
+SELECT w.doc_id,
+       COUNT(*)::BIGINT AS n_tokens,
+       SUM(CASE WHEN c.c <= 1 THEN 1 ELSE 0 END)::BIGINT AS n_rare_1,
+       SUM(CASE WHEN c.c <= 10 THEN 1 ELSE 0 END)::BIGINT AS n_rare_10,
+       SUM(CASE WHEN c.c <= 100 THEN 1 ELSE 0 END)::BIGINT AS n_rare_100,
+       MIN(c.c)::BIGINT AS min_cnt
+FROM w JOIN c USING (word)
+GROUP BY w.doc_id
+"""
+
+
+def q_token_rarity(sf_dir: str):
+    """CCNet/Gopher-style corpus-rarity quality profile (integer-exact unigram
+    LM stand-in): corpus token counts via the map-only tree combine, broadcast
+    once via ray.put; per-doc scoring is a stateless pass (index_in lookup +
+    bincount/minimum.reduceat). No doc-keyed shuffle."""
+    from scala_timeseries_lib_ray.pipelines.corpus import token_rarity
+
+    return token_rarity(_docs_ds(sf_dir))
+
+
 SQL_PART_BRAND_REVENUE = """
 WITH li AS (
   SELECT l_partkey,
@@ -3105,6 +3130,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q_normalize_text,
         "ev_sliding_distinct": q_ev_sliding_distinct,
         "doc_top_terms": q_doc_top_terms,
+        "token_rarity": q_token_rarity,
         # r04 rotation: driver slots went to the LLM composites; these five
         # redundant siblings stay exact-oracled here (check_oracle sweeps them).
         "ev_sliding_max": q_ev_sliding_max,
@@ -3157,6 +3183,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "normalize_text": SQL_NORMALIZE_TEXT,
         "ev_sliding_distinct": SQL_EV_SLIDING_DISTINCT,
         "doc_top_terms": SQL_DOC_TOP_TERMS,
+        "token_rarity": SQL_TOKEN_RARITY,
         "ev_sliding_max": _sql_ev_sliding_minmax("MAX"),
         "doc_slice": SQL_DOC_SLICE,
         "gorilla_roundtrip": SQL_DOC_POINTS,

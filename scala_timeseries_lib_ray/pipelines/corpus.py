@@ -1843,3 +1843,75 @@ def doc_top_terms(
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def token_rarity(
+    docs: ray.data.Dataset,
+    thresholds: tuple[int, ...] = (1, 10, 100),
+    fanin: tuple[int, ...] = (32,),
+) -> ray.data.Dataset:
+    """CCNet/Gopher-family corpus-statistics quality profile: per document, how
+    much of its text is built from corpus-RARE tokens (the integer-exact
+    sibling of a unigram-LM perplexity score).
+
+    Scale shape: pass 1 builds the corpus-wide token frequency table (token
+    INSTANCES, not document frequency) with the same map-only tree combine as
+    :func:`token_topk` — every exchange is tokenizer-vocabulary-bounded, never
+    corpus-sized — and broadcasts it once via ``ray.put`` (one plasma copy per
+    node, exactly how CCNet ships its LM to workers). Pass 2 is a stateless
+    ``map_batches``: corpus counts looked up per token instance through
+    Arrow's C++ ``index_in``, then per-doc reductions via ``bincount`` /
+    ``minimum.reduceat``. No doc-keyed shuffle anywhere; all outputs are
+    integers, so the DuckDB oracle matches hash-exactly.
+
+    Output (docs with >= 1 token): ``doc_id, n_tokens, n_rare_T`` per
+    threshold (token instances whose corpus count <= T) and ``min_cnt`` (the
+    corpus count of the doc's rarest token). A pretraining filter drops docs
+    whose n_rare_1/n_tokens is high (OCR noise, gibberish, mangled encodings)
+    or whose min_cnt is implausibly high (pure boilerplate)."""
+    import ray as _ray
+
+    if not thresholds or any(x <= 0 for x in thresholds):
+        raise ValueError(f"thresholds must be positive, got {thresholds}")
+
+    counts = docs.map_batches(_token_counts_batch, batch_format="pyarrow")
+    for f in fanin:
+        counts = counts.repartition(f).map_batches(
+            _combine_counts, batch_size=None, batch_format="pyarrow"
+        )
+    final = counts.repartition(1).map_batches(
+        _combine_counts, batch_size=None, batch_format="pyarrow"
+    )
+    vocab_parts, cnt_parts = [], []
+    # vocabulary-bounded pull (same contract as doc_top_terms' df table)
+    for tb in final.iter_batches(batch_size=None, batch_format="pyarrow"):
+        vocab_parts.append(tb.column("word").combine_chunks())
+        cnt_parts.append(
+            np.asarray(tb.column("cnt").to_numpy(zero_copy_only=False), np.int64)
+        )
+    vocab = pa.concat_arrays(vocab_parts) if vocab_parts else pa.array([], pa.string())
+    cntv = np.concatenate(cnt_parts) if cnt_parts else np.empty(0, np.int64)
+    ref = _ray.put((vocab, cntv))
+
+    cols = ["doc_id", "n_tokens"] + [f"n_rare_{x}" for x in thresholds] + ["min_cnt"]
+    _EMPTY = pa.table({c: pa.array([], pa.int64()) for c in cols})
+
+    def score(t: pa.Table) -> pa.Table:
+        voc, cv = _ray.get(ref)
+        ids, W, docpos, ntok = _word_codes_batch(t)
+        if len(W) == 0 or len(voc) == 0:
+            return _EMPTY
+        pos = np.asarray(
+            pc.index_in(W, value_set=voc).to_numpy(zero_copy_only=False), np.int64
+        )
+        ccnt = cv[pos]  # corpus count per token instance (always present)
+        have = ntok > 0
+        out = {"doc_id": pa.array(ids[have], pa.int64()), "n_tokens": pa.array(ntok[have])}
+        for x in thresholds:
+            rare = np.bincount(docpos, weights=ccnt <= x, minlength=len(ids))
+            out[f"n_rare_{x}"] = pa.array(rare[have].astype(np.int64))
+        starts = np.flatnonzero(np.r_[True, docpos[1:] != docpos[:-1]])
+        out["min_cnt"] = pa.array(np.minimum.reduceat(ccnt, starts))
+        return pa.table(out)
+
+    return docs.map_batches(score, batch_format="pyarrow")

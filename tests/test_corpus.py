@@ -634,3 +634,40 @@ def test_membership_views_split_stitched_runs(ray_session):
         got = _probe_sorted_runs(views[2], np.array([probe], np.uint64))
         assert got[0], f"probe missed key {probe}"
     assert not _probe_sorted_runs(views[2], np.array([55], np.uint64))[0]
+
+
+def test_token_rarity_planted(ray_session):
+    """token_rarity vs a hand-computed corpus: corpus counts are instance
+    counts (not df), thresholds are inclusive, min_cnt is the rarest token's
+    corpus count, token-less docs are dropped, custom thresholds name their
+    columns."""
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.corpus import token_rarity
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "apple apple banana",   # apple x2 here (+1 in doc1) -> c=3
+                    "apple cherry",         # cherry unique -> c=1
+                    "banana banana kiwi kiwi kiwi kiwi kiwi kiwi kiwi kiwi kiwi",
+                    "?!",                   # no tokens -> dropped
+                ]
+            ),
+        }
+    )
+    # corpus counts: apple=3, banana=3, cherry=1, kiwi=9
+    out = (
+        token_rarity(ray.data.from_arrow(t).repartition(2), thresholds=(1, 5))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [0, 1, 2]
+    assert out.loc[0].tolist() == [3, 0, 3, 3]      # n_tokens, n_rare_1, n_rare_5, min_cnt
+    assert out.loc[1].tolist() == [2, 1, 2, 1]      # cherry is a hapax
+    assert out.loc[2].tolist() == [11, 0, 2, 3]     # 9 kiwis over threshold 5
+    with pytest.raises(ValueError):
+        token_rarity(ray.data.from_arrow(t), thresholds=())
