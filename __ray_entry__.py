@@ -2360,6 +2360,22 @@ FROM s QUALIFY "rank" <= 5
 """
 
 
+def q_knn_graph_ivf(sf_dir: str):
+    """IVF-partitioned KNN graph, full-probe form (n_probe = n_clusters => the
+    candidate set is the whole corpus, so the approximate scale path must
+    reproduce the exact graph — gating the index build, the probe exchange,
+    the per-cluster scoring and the bounded merge end-to-end). The pruned
+    n_probe form is the 100-TB path, recall-pinned by pytest."""
+    import hashlib as _hl
+
+    from scala_timeseries_lib_ray.pipelines.knn import knn_graph_ivf
+
+    idx = f"/tmp/ray_ts_knnivf_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
+    return knn_graph_ivf(
+        _emb_ds(sf_dir), idx, k=5, n_probe=8, n_clusters=8, train_sample=512
+    )
+
+
 def q_dup_gram_fraction(sf_dir: str):
     """Per-doc cross-corpus duplicated-5-gram fraction (boilerplate score):
     candidate-bounded hash2pass — part-keyed hash-df exchange, sharded
@@ -3131,6 +3147,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "ev_sliding_distinct": q_ev_sliding_distinct,
         "doc_top_terms": q_doc_top_terms,
         "token_rarity": q_token_rarity,
+        "knn_graph_ivf": q_knn_graph_ivf,
         # r04 rotation: driver slots went to the LLM composites; these five
         # redundant siblings stay exact-oracled here (check_oracle sweeps them).
         "ev_sliding_max": q_ev_sliding_max,
@@ -3184,6 +3201,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "ev_sliding_distinct": SQL_EV_SLIDING_DISTINCT,
         "doc_top_terms": SQL_DOC_TOP_TERMS,
         "token_rarity": SQL_TOKEN_RARITY,
+        "knn_graph_ivf": SQL_KNN_GRAPH,
         "ev_sliding_max": _sql_ev_sliding_minmax("MAX"),
         "doc_slice": SQL_DOC_SLICE,
         "gorilla_roundtrip": SQL_DOC_POINTS,

@@ -271,3 +271,46 @@ def test_hash2pass_no_driver_transit(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         dg.to_pandas().sort_values("doc_id").reset_index(drop=True), _brute_dup_frac(t)
     )
+
+
+def test_knn_graph_ivf_recall_and_full_probe_exactness(ray_session, tmp_path):
+    """knn_graph_ivf: with n_probe == n_clusters the candidate set is the full
+    corpus, so the graph must EQUAL the exact knn_graph; with a pruned probe
+    set, recall vs exact stays high on clustered data and every query emits
+    exactly k ranked rows."""
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.knn import knn_graph, knn_graph_ivf
+
+    rng = np.random.default_rng(11)
+    # 4 well-separated gaussian clusters -> IVF probes find true neighbors
+    centers = rng.normal(size=(4, 16)) * 8
+    X = np.concatenate([centers[i] + rng.normal(size=(75, 16)) for i in range(4)])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+            "embedding": pa.array(list(X.astype(np.float32)), pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow([t.slice(i, 100) for i in range(0, 300, 100)])
+    exact = knn_graph(ds, k=5).to_pandas()
+
+    full = knn_graph_ivf(
+        ds, str(tmp_path / "ivf_full"), k=5, n_probe=8, n_clusters=8,
+        train_sample=300,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        full.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        exact.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+
+    pruned = knn_graph_ivf(
+        ds, str(tmp_path / "ivf_pruned"), k=5, n_probe=2, n_clusters=8,
+        train_sample=300,
+    ).to_pandas()
+    assert (pruned.groupby("query_id")["rank"].count() == 5).all()
+    assert len(pruned) == len(exact)
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].to_numpy()))
+    p = set(map(tuple, pruned[["query_id", "neighbor_id"]].to_numpy()))
+    recall = len(e & p) / len(e)
+    assert recall >= 0.9, recall
