@@ -2376,6 +2376,43 @@ def q_knn_graph_ivf(sf_dir: str):
     )
 
 
+SQL_CROSS_SOURCE_DUPS = """
+WITH d AS (SELECT source,
+                  CASE WHEN doc_id % 3 = 0 THEN 'SHARED-' || (doc_id % 101)
+                       ELSE text END AS text
+           FROM documents),
+h AS (SELECT DISTINCT source, md5(lower(text)) AS th FROM d)
+SELECT a.source AS source_a, b.source AS source_b, COUNT(*)::BIGINT AS n_shared
+FROM h a JOIN h b ON a.th = b.th AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+def q_cross_source_dups(sf_dir: str):
+    """Cross-source duplicate-content matrix (provenance audit): distinct
+    (source, content-hash) rows through the measured-sized hash exchange,
+    vectorized per-part pair expansion, one n_sources^2-bounded root combine.
+    The testdata has no natural cross-source duplicates, so every third doc's
+    text is deterministically replaced by one of 101 shared strings (the SQL
+    oracle mirrors the construction)."""
+    from scala_timeseries_lib_ray.pipelines.corpus import cross_source_dups
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False), np.int64)
+        shared = pa.compute.binary_join_element_wise(
+            pa.array(["SHARED-"] * len(t)),
+            pa.compute.cast(pa.array(ids % 101, pa.int64()), pa.string()),
+            "",
+        )
+        text = pa.compute.if_else(pa.array(ids % 3 == 0), shared, t.column("text"))
+        return pa.table({"source": t.column("source"), "text": text})
+
+    planted = _docs_ds(sf_dir, columns=("doc_id", "source", "text")).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    return cross_source_dups(planted)
+
+
 def q_dup_gram_fraction(sf_dir: str):
     """Per-doc cross-corpus duplicated-5-gram fraction (boilerplate score):
     candidate-bounded hash2pass — part-keyed hash-df exchange, sharded
@@ -3148,6 +3185,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": q_doc_top_terms,
         "token_rarity": q_token_rarity,
         "knn_graph_ivf": q_knn_graph_ivf,
+        "cross_source_dups": q_cross_source_dups,
         # r04 rotation: driver slots went to the LLM composites; these five
         # redundant siblings stay exact-oracled here (check_oracle sweeps them).
         "ev_sliding_max": q_ev_sliding_max,
@@ -3202,6 +3240,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "doc_top_terms": SQL_DOC_TOP_TERMS,
         "token_rarity": SQL_TOKEN_RARITY,
         "knn_graph_ivf": SQL_KNN_GRAPH,
+        "cross_source_dups": SQL_CROSS_SOURCE_DUPS,
         "ev_sliding_max": _sql_ev_sliding_minmax("MAX"),
         "doc_slice": SQL_DOC_SLICE,
         "gorilla_roundtrip": SQL_DOC_POINTS,

@@ -1915,3 +1915,110 @@ def token_rarity(
         return pa.table(out)
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def cross_source_dups(
+    docs: ray.data.Dataset, n_parts: "int | str" = "auto"
+) -> ray.data.Dataset:
+    """Cross-source duplicate-content matrix: for every unordered source pair
+    (a < b), how many DISTINCT document contents appear in both — the
+    provenance/contamination report a corpus audit runs before mixing sources
+    (which crawls plagiarize which, where licensed text leaked into a scrape).
+
+    Scale shape: per batch, distinct (source, content-hash-u64) rows (64-bit
+    md5, same collision contract as the dedup family); the exchange is keyed
+    by the measured-sized hash partition (:func:`_auto_parted_partials`) so
+    each ``map_groups`` task holds 1/n_parts of the distinct (source, hash)
+    space. Pair expansion is vectorized (two ragged-arange passes over the
+    multi-source runs) and bounded by n_sources^2 per hash; per-part partial
+    counts then collapse in ONE bounded reduce (the pair key space is
+    n_sources^2, thousands of rows at most — never corpus-scale).
+
+    Output: (source_a, source_b, n_shared), source_a < source_b."""
+
+    def hash_partial(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t.column("text"))
+        if isinstance(low, pa.ChunkedArray):
+            low = low.combine_chunks()
+        h = md5_u64_strings(low)
+        src = t.column("source")
+        enc = pc.dictionary_encode(
+            src.combine_chunks() if isinstance(src, pa.ChunkedArray) else src
+        )
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        pairs = np.unique(np.stack([h.view(np.int64), codes], axis=1), axis=0)
+        return pa.table(
+            {
+                "h": pa.array(pairs[:, 0], pa.int64()),
+                "source": enc.dictionary.take(pa.array(pairs[:, 1], pa.int64())),
+            }
+        )
+
+    _EMPTY_PAIRS = pa.table(
+        {
+            "source_a": pa.array([], pa.string()),
+            "source_b": pa.array([], pa.string()),
+            "n_shared": pa.array([], pa.int64()),
+        }
+    )
+
+    def part_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY_PAIRS
+        h = np.asarray(t.column("h").to_numpy(zero_copy_only=False), np.int64)
+        src = np.asarray(t.column("source").to_numpy(zero_copy_only=False))
+        # sources in sorted-string code order -> pair (a_code < b_code) is
+        # lexicographic (source_a < source_b), matching the SQL oracle
+        uniq, codes = np.unique(src, return_inverse=True)
+        hs, cs = np.unique(np.stack([h, codes], axis=1), axis=0).T  # cross-batch dedup
+        runs = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+        L = np.diff(np.r_[runs, len(hs)])
+        multi = L >= 2
+        if not multi.any():
+            return _EMPTY_PAIRS
+        starts2, L2 = runs[multi], L[multi]
+        # ragged arange #1: per run, j = 1..L-1
+        nj = L2 - 1
+        joff = np.r_[0, np.cumsum(nj)]
+        js = np.arange(joff[-1], dtype=np.int64) - np.repeat(joff[:-1], nj) + 1
+        run_of_j = np.repeat(np.arange(len(L2)), nj)
+        # ragged arange #2: each j expands to pairs (i=0..j-1, j)
+        ioff = np.r_[0, np.cumsum(js)]
+        i_flat = np.arange(ioff[-1], dtype=np.int64) - np.repeat(ioff[:-1], js)
+        j_flat = np.repeat(js, js)
+        run_flat = np.repeat(run_of_j, js)
+        base = starts2[run_flat]
+        a = cs[base + i_flat]
+        b = cs[base + j_flat]
+        key = a * len(uniq) + b
+        kk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "source_a": pa.array(uniq[kk // len(uniq)]),
+                "source_b": pa.array(uniq[kk % len(uniq)]),
+                "n_shared": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY_PAIRS
+        g = t.group_by(["source_a", "source_b"]).aggregate([("n_shared", "sum")])
+        return g.rename_columns(["source_a", "source_b", "n_shared"])
+
+    parted, _ = _auto_parted_partials(
+        docs.map_batches(hash_partial, batch_format="pyarrow"), n_parts
+    )
+    partials = parted.groupby("part").map_groups(
+        lambda t: part_pairs(t.drop_columns(["part"])), batch_format="pyarrow"
+    )
+    # partials are n_parts x n_sources^2-bounded (never corpus-scale): safe to
+    # pin for the count that keeps a dup-free corpus schema-stable (an
+    # all-empty map_groups stream would otherwise surface as schema-less)
+    partials = partials.materialize()
+    if partials.count() == 0:
+        return ray.data.from_arrow(_EMPTY_PAIRS)
+    # pair key space is n_sources^2-bounded -> one tiny root combine
+    return partials.repartition(1).map_batches(
+        combine, batch_size=None, batch_format="pyarrow"
+    )

@@ -671,3 +671,44 @@ def test_token_rarity_planted(ray_session):
     assert out.loc[2].tolist() == [11, 0, 2, 3]     # 9 kiwis over threshold 5
     with pytest.raises(ValueError):
         token_rarity(ray.data.from_arrow(t), thresholds=())
+
+
+def test_cross_source_dups_planted(ray_session):
+    """cross_source_dups vs a hand corpus: counts DISTINCT shared contents per
+    unordered pair, case-insensitive, within-source duplicates alone don't
+    pair, dup-free corpus yields 0 rows with a stable schema."""
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.corpus import cross_source_dups
+
+    t = pa.table(
+        {
+            "source": pa.array(["a", "a", "b", "b", "c", "c", "a"]),
+            "text": pa.array(
+                [
+                    "Hello World",   # a: shared with b (case-insensitive)
+                    "only in a",
+                    "hello world",   # b
+                    "twins",         # b: shared with c
+                    "twins",         # c
+                    "twins",         # c again (within-source dup, still 1 content)
+                    "only in a",     # within-a dup only -> no pair
+                ]
+            ),
+        }
+    )
+    out = (
+        cross_source_dups(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .sort_values(["source_a", "source_b"])
+        .reset_index(drop=True)
+    )
+    assert out.to_records(index=False).tolist() == [("a", "b", 1), ("b", "c", 1)]
+    nodup = pa.table(
+        {"source": pa.array(["a", "b"]), "text": pa.array(["x1", "x2"])}
+    )
+    empty = cross_source_dups(ray.data.from_arrow(nodup))
+    # (Ray's to_pandas drops columns on 0-row datasets; the dataset-level
+    # schema is the stable contract the seed union guarantees)
+    assert sorted(empty.schema().names) == ["n_shared", "source_a", "source_b"]
+    assert empty.count() == 0
