@@ -516,9 +516,6 @@ def exact_dedup(docs: ray.data.Dataset, n_parts: "int | str" = "auto") -> ray.da
 # VALUES table, see __ray_entry__._sql_minhash_dedup)
 _PERM_RNG = np.random.default_rng(20240817)
 N_HASHES = 64
-# partitions for the cluster-path candidate shuffle (bounded task count; at
-# 256 nodes raise to ~8-16x the worker count)
-N_CAND_PARTS = 64
 PERM_A = _PERM_RNG.integers(1, _M31, N_HASHES, dtype=np.int64).astype(np.uint64)
 PERM_B = _PERM_RNG.integers(0, _M31, N_HASHES, dtype=np.int64).astype(np.uint64)
 
@@ -701,7 +698,6 @@ _EMPTY_SIG = pa.table(
         "band": pa.array([], pa.int32()),
         "key_hi": pa.array([], pa.uint64()),
         "key_lo": pa.array([], pa.uint64()),
-        "part": pa.array([], pa.int32()),
     }
 )
 
@@ -738,7 +734,7 @@ def bands_from_hash_lists(t: pa.Table, bands: int) -> pa.Table:
     for i in range(N_HASHES):
         prods = (PERM_A[i] * flat + PERM_B[i]) % m31
         sig_mins.append(np.minimum.reduceat(prods, starts))
-    out_hi, out_lo, out_part = [], [], []
+    out_hi, out_lo = [], []
     for b in range(bands):
         grp = sig_mins[b * rows_per_band : (b + 1) * rows_per_band]
         if rows_per_band <= 4:
@@ -757,20 +753,14 @@ def bands_from_hash_lists(t: pa.Table, bands: int) -> pa.Table:
             lo = md5_u64_strings(joined)
         out_hi.append(hi)
         out_lo.append(lo)
-        # uniform partition of the (band, key) space for the cluster candidate
-        # path: a deterministic function of (band, key-defining values) so every
-        # row of a bucket lands in the same partition regardless of batch
-        out_part.append(
-            ((grp[0] * np.uint64(2654435761) + np.uint64(b)) % np.uint64(N_CAND_PARTS))
-            .astype(np.int32)
-        )
+    # the cluster candidate path's partition key is appended downstream by
+    # _auto_parted_sig (a deterministic function of the bucket identity)
     return pa.table(
         {
             "doc_id": pa.array(np.tile(ids, bands), pa.int64()),
             "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), nd)),
             "key_hi": pa.array(np.concatenate(out_hi), pa.uint64()),
             "key_lo": pa.array(np.concatenate(out_lo), pa.uint64()),
-            "part": pa.array(np.concatenate(out_part)),
         }
     )
 
@@ -841,6 +831,47 @@ _EMPTY_PAIRS = pa.table(
 )
 
 
+_SIG_P1 = np.uint64(0x9E3779B97F4A7C15)
+_SIG_P2 = np.uint64(2654435761)
+
+
+def _auto_parted_sig(
+    sig: ray.data.Dataset, n_parts: "int | str", bytes_per_row: int = 36
+) -> "tuple[ray.data.Dataset, int]":
+    """Append the candidate-exchange partition key to an LSH signature stream
+    (minhash/simhash/embedding-sign rows). The key is a deterministic function
+    of the BUCKET identity — (band, key) or (band, key_hi, key_lo) — so every
+    row of a bucket lands in one partition regardless of batch or layout.
+
+    ``n_parts="auto"`` materializes the sig rows (they are the groupby
+    exchange payload; the sort barrier holds them anyway) and sizes the
+    power-of-two part count from the measured row count (VERDICT r04 #2:
+    the former fixed N_CAND_PARTS=64 left multi-GB per-part groups at
+    corpus x bands scale). Explicit ints keep the plan fully streaming."""
+    if n_parts == "auto":
+        sig = sig.materialize()
+        n_parts = size_parts(sig.count(), bytes_per_row=bytes_per_row)
+    elif not isinstance(n_parts, int) or n_parts <= 0 or n_parts & (n_parts - 1):
+        raise ValueError(f"n_parts must be a power of two or 'auto', got {n_parts}")
+    mask = np.uint64(n_parts - 1)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        band = np.asarray(t.column("band").to_numpy(zero_copy_only=False)).astype(np.uint64)
+        if "key" in t.column_names:  # simhash segment form
+            mix = np.asarray(t.column("key").to_numpy(zero_copy_only=False)).view(
+                np.uint64
+            ) * _SIG_P2
+        else:
+            hi = np.asarray(t.column("key_hi").to_numpy(zero_copy_only=False)).astype(np.uint64)
+            lo = np.asarray(t.column("key_lo").to_numpy(zero_copy_only=False)).astype(np.uint64)
+            mix = (hi * _SIG_P1) ^ (lo * _SIG_P2)
+        return t.append_column(
+            "part", pa.array(((mix + band * _SIG_P1) & mask).astype(np.int32))
+        )
+
+    return sig.map_batches(add_part, batch_format="pyarrow"), n_parts
+
+
 def _sig_pairs(t: pa.Table, max_bucket: int) -> tuple[np.ndarray, np.ndarray]:
     """Candidate pairs straight from sig rows with ONE lexsort: sort by
     (band, key_hi, key_lo) with doc_id innermost — rows land bucket-grouped and
@@ -877,13 +908,16 @@ def _candidate_pairs_local(sig: ray.data.Dataset, max_bucket: int) -> pa.Table:
     return pa.concat_tables(tables) if tables else _EMPTY_PAIRS
 
 
-def _candidate_pairs_groupby(sig: ray.data.Dataset, max_bucket: int) -> pa.Table:
+def _candidate_pairs_groupby(
+    sig: ray.data.Dataset, max_bucket: int, n_parts: "int | str" = "auto"
+) -> pa.Table:
     """Cluster-scale candidate extraction: ONE bounded all-to-all keyed by a
-    uniform partition of the (band, key) space — N_CAND_PARTS partitions, not a
-    task per bucket — then the vectorized pair emission runs on each partition's
-    (band, key) sub-buckets. Every row of a bucket lands in the same partition
-    (the 'part' column is a function of (band, key)), so results equal the
-    per-bucket form while task count stays bounded at any corpus size."""
+    uniform partition of the (band, key) space — measured-sized part count
+    (:func:`_auto_parted_sig`), not a task per bucket — then the vectorized
+    pair emission runs on each partition's (band, key) sub-buckets. Every row
+    of a bucket lands in the same partition (the part key is a function of
+    the bucket identity), so results equal the per-bucket form while per-task
+    memory stays bounded at any corpus size."""
 
     def emit(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -891,7 +925,8 @@ def _candidate_pairs_groupby(sig: ray.data.Dataset, max_bucket: int) -> pa.Table
         a, b = _sig_pairs(t, max_bucket)
         return pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
 
-    pairs = sig.groupby("part").map_groups(
+    parted, _ = _auto_parted_sig(sig, n_parts)
+    pairs = parted.groupby("part").map_groups(
         lambda t: emit(t.drop_columns(["part"])), batch_format="pyarrow"
     )
     tbl = pa.concat_tables(
@@ -914,6 +949,7 @@ def minhash_lsh_dedup(
     max_bucket: int = 4096,
     max_candidates: int = 1_000_000,
     cache_hashes: bool = False,
+    n_cand_parts: "int | str" = "auto",
 ) -> ray.data.Dataset:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
@@ -941,7 +977,7 @@ def minhash_lsh_dedup(
         hsets = hsets.materialize()
     sig = hsets.map_batches(lambda t: bands_from_hash_lists(t, bands), batch_format="pyarrow")
     if candidates == "groupby":
-        cand = _candidate_pairs_groupby(sig, max_bucket)
+        cand = _candidate_pairs_groupby(sig, max_bucket, n_cand_parts)
     else:
         cand = _candidate_pairs_local(sig, max_bucket)
     if cand.num_rows > max_candidates:
@@ -1375,6 +1411,7 @@ def simhash_near_pairs(
     n_segments: int | None = None,
     candidates: str = "local",
     max_bucket: int = 8192,
+    n_cand_parts: "int | str" = "auto",
 ) -> ray.data.Dataset:
     """SimHash near-dup pairs via segment pigeonhole.
 
@@ -1410,16 +1447,12 @@ def simhash_near_pairs(
         parts = []
         for s in range(n_segments):
             seg = (sh >> np.uint64(seg_bits * s)) & mask
-            part = ((seg * np.uint64(2654435761) + np.uint64(s)) % np.uint64(N_CAND_PARTS)).astype(
-                np.int32
-            )
             parts.append(
                 pa.table(
                     {
                         "doc_id": pa.array(ids, pa.int64()),
                         "band": pa.array(np.full(len(ids), s, dtype=np.int32)),
                         "key": pa.array(seg.astype(np.int64)),  # segment value IS the key
-                        "part": pa.array(part),
                         "simhash": pa.array(sh.view(np.int64)),
                     }
                 )
@@ -1455,7 +1488,8 @@ def simhash_near_pairs(
         )
 
     if candidates == "groupby":
-        pairs = sig.groupby("part").map_groups(
+        parted, _ = _auto_parted_sig(sig, n_cand_parts)
+        pairs = parted.groupby("part").map_groups(
             lambda t: emit(t.drop_columns(["part"])), batch_format="pyarrow"
         )
     else:
@@ -1754,17 +1788,12 @@ def embedding_band_batch(t: pa.Table, planes: np.ndarray) -> pa.Table:
     out_ids = np.repeat(ids, EMB_BANDS)
     out_band = np.tile(np.arange(EMB_BANDS, dtype=np.int32), len(ids))
     flat_keys = keys.reshape(-1)
-    part = (
-        (flat_keys * np.uint64(2654435761) + out_band.astype(np.uint64))
-        % np.uint64(N_CAND_PARTS)
-    ).astype(np.int32)
     return pa.table(
         {
             "doc_id": pa.array(out_ids, pa.int64()),
             "band": pa.array(out_band),
             "key_hi": pa.array(np.zeros(len(flat_keys), np.uint64), pa.uint64()),
             "key_lo": pa.array(flat_keys, pa.uint64()),
-            "part": pa.array(part),
         }
     )
 
@@ -1775,6 +1804,7 @@ def embedding_near_dup_lsh(
     candidates: str = "local",
     max_bucket: int = 1024,
     max_candidates: int = 2_000_000,
+    n_cand_parts: "int | str" = "auto",
 ) -> ray.data.Dataset:
     """Embedding-cosine near-dup pairs, LSH-banded (the scale path): sign-bucket
     each vector under EMB_BANDS seeded hyperplane bands, extract bucket-collision
@@ -1791,7 +1821,7 @@ def embedding_near_dup_lsh(
 
     sig = embeddings.map_batches(bands, batch_format="pyarrow")
     if candidates == "groupby":
-        cand = _candidate_pairs_groupby(sig, max_bucket)
+        cand = _candidate_pairs_groupby(sig, max_bucket, n_cand_parts)
     else:
         cand = _candidate_pairs_local(sig, max_bucket)
     if cand.num_rows > max_candidates:

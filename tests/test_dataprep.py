@@ -882,3 +882,41 @@ def test_part_from_hexes_and_auto_parted_hashed(ray_session):
     assert n_exp == 512
     with pytest.raises(ValueError):
         _auto_parted_hashed(ds, "text_hash", 96)
+
+
+def test_auto_parted_sig_bucket_integrity(ray_session):
+    """_auto_parted_sig: every (band, key) bucket's rows land in exactly one
+    partition (candidate-extraction invariant), for both the packed
+    (key_hi, key_lo) and simhash 'key' layouts; auto sizing floors at 64."""
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.dataprep import _auto_parted_sig
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "band": pa.array(rng.integers(0, 16, n).astype(np.int32)),
+            "key_hi": pa.array(rng.integers(0, 50, n).astype(np.uint64), pa.uint64()),
+            "key_lo": pa.array(rng.integers(0, 50, n).astype(np.uint64), pa.uint64()),
+        }
+    )
+    parted, np_ = _auto_parted_sig(ray.data.from_arrow(t).repartition(4), "auto")
+    assert np_ == 64
+    df = parted.to_pandas()
+    per_bucket = df.groupby(["band", "key_hi", "key_lo"])["part"].nunique()
+    assert (per_bucket == 1).all()
+    t2 = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "band": pa.array(rng.integers(0, 4, n).astype(np.int32)),
+            "key": pa.array(rng.integers(0, 99, n).astype(np.int64)),
+        }
+    )
+    parted2, _ = _auto_parted_sig(ray.data.from_arrow(t2).repartition(3), 128)
+    df2 = parted2.to_pandas()
+    assert (df2.groupby(["band", "key"])["part"].nunique() == 1).all()
+    assert df2["part"].between(0, 127).all()
+    with pytest.raises(ValueError):
+        _auto_parted_sig(ray.data.from_arrow(t2), 65)
