@@ -7,7 +7,8 @@ runs), then times the requested operator solo (one Ray cluster per process —
 see NEXT.md measurement-discipline note).
 
 Usage: python tools/stress_corpus.py --op dup_gram_fraction [--docs 1000000]
-Ops: dup_gram_fraction | dup_ngrams | doc_top_terms | repetition_stats
+Ops: dup_gram_fraction | dup_ngrams | doc_top_terms | repetition_stats |
+dedup_lines | dedup_spans | scrub_text | token_rarity | cross_source_dups
 """
 
 from __future__ import annotations
@@ -115,6 +116,14 @@ def main() -> None:
         n = out.count()
     elif args.op == "dedup_spans":
         out = C.dedup_spans(docs)
+        n = out.count()
+    elif args.op == "token_rarity":
+        out = C.token_rarity(docs)
+        n = out.count()
+    elif args.op == "cross_source_dups":
+        # needs the source column: re-read with it (same cached corpus)
+        docs2 = ray.data.read_parquet(path, columns=["source", "text"])
+        out = C.cross_source_dups(docs2)
         n = out.count()
     else:
         raise SystemExit(f"unknown op {args.op}")
