@@ -193,6 +193,7 @@ def knn_graph_ivf(
     train_sample: int = 2048,
     iters: int = 8,
     query_part_bits: int = 6,
+    exchange_dtype: str = "float64",
 ) -> ray.data.Dataset:
     """Approximate (query_id, neighbor_id, rank) KNN graph via the partitioned
     IVF index — THE scale path where :func:`knn_graph`'s exact all-pairs
@@ -216,7 +217,13 @@ def knn_graph_ivf(
       neighbor asc), self excluded.
 
     Rows-only by construction (recall depends on n_probe/n_clusters);
-    recall-vs-exact pinned by pytest. Same output schema as knn_graph."""
+    recall-vs-exact pinned by pytest. Same output schema as knn_graph.
+
+    ``exchange_dtype="float32"`` halves the probe-exchange payload (the
+    n_probe-replicated vectors dominate the shuffle bytes); scoring then runs
+    on the quantized values (same rank-flip contract as knn_graph's
+    staging_dtype) — keep the float64 default where full-probe oracle parity
+    matters."""
     import os
 
     import pyarrow.parquet as pq
@@ -225,6 +232,10 @@ def knn_graph_ivf(
 
     if k <= 0 or n_probe <= 0:
         raise ValueError(f"k and n_probe must be positive, got {k}, {n_probe}")
+    if exchange_dtype not in ("float64", "float32"):
+        raise ValueError(f"exchange_dtype must be float64|float32, got {exchange_dtype}")
+    ex_np = np.dtype(exchange_dtype)
+    ex_pa = pa.float64() if exchange_dtype == "float64" else pa.float32()
     if not os.path.exists(os.path.join(index_dir, MANIFEST)):
         build_ivf_index(embeddings, index_dir, n_clusters, train_sample, iters)
     C = load_ivf_centroids(index_dir)
@@ -242,9 +253,7 @@ def knn_graph_ivf(
                 {
                     "cluster": pa.array([], pa.int32()),
                     "query_id": pa.array([], pa.int64()),
-                    "xn": pa.FixedSizeListArray.from_arrays(
-                        pa.array([], pa.float64()), dim
-                    ),
+                    "xn": pa.FixedSizeListArray.from_arrays(pa.array([], ex_pa), dim),
                 }
             )
         probe = np.argsort(-(Xn @ CC.T), axis=1)[:, :n_probe]  # (n, n_probe)
@@ -254,7 +263,7 @@ def knn_graph_ivf(
                 "cluster": pa.array(probe.ravel().astype(np.int32)),
                 "query_id": pa.array(ids[rep], pa.int64()),
                 "xn": pa.FixedSizeListArray.from_arrays(
-                    pa.array(Xn[rep].ravel(), pa.float64()), dim
+                    pa.array(Xn[rep].astype(ex_np, copy=False).ravel(), ex_pa), dim
                 ),
             }
         )
@@ -279,7 +288,7 @@ def knn_graph_ivf(
         if mt.num_rows == 0:
             return _EMPTY_PART
         m_ids, M = _emb_matrix(mt)
-        Mn = _normalize(M)
+        Mn = _normalize(M).astype(ex_np, copy=False)
         qids, Qn = _chunk_view(t.select(["query_id", "xn"]).rename_columns(["vec_id", "xn"]))
         outs = []
         kk = min(k + 1, len(m_ids))

@@ -314,3 +314,32 @@ def test_knn_graph_ivf_recall_and_full_probe_exactness(ray_session, tmp_path):
     p = set(map(tuple, pruned[["query_id", "neighbor_id"]].to_numpy()))
     recall = len(e & p) / len(e)
     assert recall >= 0.9, recall
+
+
+def test_knn_graph_ivf_exchange_dtype_parity(ray_session, tmp_path):
+    """float32 exchange halves the probe payload; ranks stay identical on
+    well-separated data (same contract as knn_graph staging_dtype)."""
+    import ray.data
+
+    from scala_timeseries_lib_ray.pipelines.knn import knn_graph_ivf
+
+    rng = np.random.default_rng(21)
+    centers = rng.normal(size=(4, 16)) * 8
+    X = np.concatenate([centers[i] + rng.normal(size=(50, 16)) for i in range(4)])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+            "embedding": pa.array(list(X.astype(np.float32)), pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    a = knn_graph_ivf(ds, str(tmp_path / "i64"), k=3, n_probe=2, n_clusters=4,
+                      train_sample=200).to_pandas()
+    b = knn_graph_ivf(ds, str(tmp_path / "i32"), k=3, n_probe=2, n_clusters=4,
+                      train_sample=200, exchange_dtype="float32").to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        b.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+    with pytest.raises(ValueError):
+        knn_graph_ivf(ds, str(tmp_path / "bad"), exchange_dtype="float16")
