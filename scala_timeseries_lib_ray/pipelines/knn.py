@@ -192,7 +192,7 @@ def knn_graph_ivf(
     n_clusters: int = 16,
     train_sample: int = 2048,
     iters: int = 8,
-    query_part_bits: int = 6,
+    query_parts: "int | str" = "auto",
     exchange_dtype: str = "float64",
 ) -> ray.data.Dataset:
     """Approximate (query_id, neighbor_id, rank) KNN graph via the partitioned
@@ -242,7 +242,6 @@ def knn_graph_ivf(
     n_probe = min(n_probe, len(C))
     cref = ray.put(C)
     dim = C.shape[1]
-    mask = np.int64((1 << query_part_bits) - 1)
 
     def probe_rows(t: pa.Table) -> pa.Table:
         CC = ray.get(cref)
@@ -270,7 +269,6 @@ def knn_graph_ivf(
 
     _EMPTY_PART = pa.table(
         {
-            "part": pa.array([], pa.int32()),
             "query_id": pa.array([], pa.int64()),
             "neighbor_id": pa.array([], pa.int64()),
             "score": pa.array([], pa.float64()),
@@ -306,7 +304,6 @@ def knn_graph_ivf(
         q = np.concatenate([o[0] for o in outs])
         return pa.table(
             {
-                "part": pa.array((q & mask).astype(np.int32)),
                 "query_id": pa.array(q, pa.int64()),
                 "neighbor_id": pa.array(np.concatenate([o[1] for o in outs]), pa.int64()),
                 "score": pa.array(np.concatenate([o[2] for o in outs]), pa.float64()),
@@ -343,11 +340,30 @@ def knn_graph_ivf(
             }
         )
 
+    from .dataprep import size_parts
+
     partials = (
         embeddings.map_batches(probe_rows, batch_format="pyarrow")
         .groupby("cluster")
         .map_groups(score_cluster, batch_format="pyarrow")
     )
-    return partials.groupby("part").map_groups(
+    # per-query merge under a MEASURED-SIZED part key (the candidate rows are
+    # the exchange payload; a fixed 64 would leave multi-GB per-part groups at
+    # 1e9+ vectors x n_probe x (k+1) rows)
+    if query_parts == "auto":
+        partials = partials.materialize()
+        query_parts = size_parts(partials.count(), bytes_per_row=28)
+    elif (
+        not isinstance(query_parts, int) or query_parts <= 0 or query_parts & (query_parts - 1)
+    ):
+        raise ValueError(f"query_parts must be a power of two or 'auto', got {query_parts}")
+    qmask = np.int64(query_parts - 1)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        q = np.asarray(t.column("query_id").to_numpy(zero_copy_only=False))
+        return t.append_column("part", pa.array((q & qmask).astype(np.int32)))
+
+    parted = partials.map_batches(add_part, batch_format="pyarrow")
+    return parted.groupby("part").map_groups(
         lambda t: merge_part(t.drop_columns(["part"])), batch_format="pyarrow"
     )
