@@ -23,9 +23,10 @@ Scale shape — block-nested loop with a broadcast corpus, zero shuffle:
 Memory contract: one chunk (chunk_rows x dim float64) plus one batch resident
 per task at a time — independent of corpus size. The object store holds the
 corpus once (it would anyway, as the input blocks). Compute is the honest
-O(n^2 d) of exact KNN; for corpora where that is too hot, the pruned-read IVF
-index (``pipelines/annindex.py``) is the approximate scale path — this
-operator is the exact baseline it is measured against.
+O(n^2 d) of exact KNN; where that is too hot, :func:`knn_graph_ivf` (below)
+is the approximate scale path — per-cluster scoring over the partitioned IVF
+index (``pipelines/annindex.py``), n·(n/n_clusters)·n_probe compute, with the
+exact graph as the recall baseline (full-probe form reproduces it exactly).
 """
 
 from __future__ import annotations
